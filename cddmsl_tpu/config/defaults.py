@@ -1,0 +1,262 @@
+"""Default config tree.
+
+Mirrors the key surface of the reference defaults
+(detectron2/config/defaults.py:18-753) including the `MODEL.CLIP.*` block
+(:195-238) and the CDDMSL keys `MODEL.KD_REGULRAZIATION` /
+`MODEL.PRE_TRAINED_RCLIP_PATH` / `MODEL.VISION_TO_LANG_PATH` (:30-32),
+plus TPU-native additions under `TPU.*` (static-shape capacities, mesh,
+precision) that have no GPU analogue.
+"""
+
+from .cfg_node import CfgNode
+
+
+def get_default_cfg() -> CfgNode:
+    _C = CfgNode()
+
+    _C.VERSION = 2
+    _C.OUTPUT_DIR = "./output"
+    _C.SEED = -1
+    _C.CUDNN_BENCHMARK = False  # accepted for config compat; no-op on TPU
+
+    # ---------------- MODEL ----------------
+    _C.MODEL = CfgNode()
+    _C.MODEL.DEVICE = "tpu"
+    _C.MODEL.META_ARCHITECTURE = "GeneralizedRCNN"
+    _C.MODEL.WEIGHTS = ""
+    _C.MODEL.MASK_ON = False
+    _C.MODEL.KEYPOINT_ON = False
+    _C.MODEL.LOAD_PROPOSALS = False
+    # CLIP pixel stats by default come from the experiment configs; these are
+    # the ImageNet-ish defaults of the reference (defaults.py).
+    _C.MODEL.PIXEL_MEAN = [103.530, 116.280, 123.675]
+    _C.MODEL.PIXEL_STD = [1.0, 1.0, 1.0]
+    # CDDMSL additions (reference defaults.py:30-32)
+    _C.MODEL.KD_REGULRAZIATION = False  # (sic) reference key name kept for config compat
+    _C.MODEL.PRE_TRAINED_RCLIP_PATH = ""
+    _C.MODEL.VISION_TO_LANG_PATH = ""
+
+    # ---------------- MODEL.BACKBONE ----------------
+    _C.MODEL.BACKBONE = CfgNode()
+    _C.MODEL.BACKBONE.NAME = "build_clip_resnet_backbone"
+    _C.MODEL.BACKBONE.FREEZE_AT = 2
+
+    # ---------------- MODEL.RESNETS ----------------
+    _C.MODEL.RESNETS = CfgNode()
+    _C.MODEL.RESNETS.DEPTH = 50
+    _C.MODEL.RESNETS.OUT_FEATURES = ["res4"]
+    _C.MODEL.RESNETS.NUM_GROUPS = 1
+    _C.MODEL.RESNETS.NORM = "FrozenBN"
+    _C.MODEL.RESNETS.WIDTH_PER_GROUP = 64
+    _C.MODEL.RESNETS.STEM_OUT_CHANNELS = 64
+    _C.MODEL.RESNETS.RES2_OUT_CHANNELS = 256
+    _C.MODEL.RESNETS.STRIDE_IN_1X1 = True
+    _C.MODEL.RESNETS.RES5_DILATION = 1
+    _C.MODEL.RESNETS.DEFORM_ON_PER_STAGE = [False, False, False, False]
+    _C.MODEL.RESNETS.DEFORM_MODULATED = False
+    _C.MODEL.RESNETS.DEFORM_NUM_GROUPS = 1
+
+    # ---------------- MODEL.FPN ----------------
+    _C.MODEL.FPN = CfgNode()
+    _C.MODEL.FPN.IN_FEATURES = []
+    _C.MODEL.FPN.OUT_CHANNELS = 256
+    _C.MODEL.FPN.NORM = ""
+    _C.MODEL.FPN.FUSE_TYPE = "sum"
+
+    # ---------------- MODEL.ANCHOR_GENERATOR ----------------
+    _C.MODEL.ANCHOR_GENERATOR = CfgNode()
+    _C.MODEL.ANCHOR_GENERATOR.NAME = "DefaultAnchorGenerator"
+    _C.MODEL.ANCHOR_GENERATOR.SIZES = [[32, 64, 128, 256, 512]]
+    _C.MODEL.ANCHOR_GENERATOR.ASPECT_RATIOS = [[0.5, 1.0, 2.0]]
+    _C.MODEL.ANCHOR_GENERATOR.ANGLES = [[-90, 0, 90]]
+    _C.MODEL.ANCHOR_GENERATOR.OFFSET = 0.0
+
+    # ---------------- MODEL.RPN ----------------
+    _C.MODEL.RPN = CfgNode()
+    _C.MODEL.RPN.HEAD_NAME = "StandardRPNHead"
+    _C.MODEL.RPN.IN_FEATURES = ["res4"]
+    _C.MODEL.RPN.BOUNDARY_THRESH = -1
+    _C.MODEL.RPN.IOU_THRESHOLDS = [0.3, 0.7]
+    _C.MODEL.RPN.IOU_LABELS = [0, -1, 1]
+    _C.MODEL.RPN.BATCH_SIZE_PER_IMAGE = 256
+    _C.MODEL.RPN.POSITIVE_FRACTION = 0.5
+    _C.MODEL.RPN.BBOX_REG_LOSS_TYPE = "smooth_l1"
+    _C.MODEL.RPN.BBOX_REG_LOSS_WEIGHT = 1.0
+    _C.MODEL.RPN.BBOX_REG_WEIGHTS = (1.0, 1.0, 1.0, 1.0)
+    _C.MODEL.RPN.SMOOTH_L1_BETA = 0.0
+    _C.MODEL.RPN.LOSS_WEIGHT = 1.0
+    _C.MODEL.RPN.PRE_NMS_TOPK_TRAIN = 12000
+    _C.MODEL.RPN.PRE_NMS_TOPK_TEST = 6000
+    _C.MODEL.RPN.POST_NMS_TOPK_TRAIN = 2000
+    _C.MODEL.RPN.POST_NMS_TOPK_TEST = 1000
+    _C.MODEL.RPN.NMS_THRESH = 0.7
+    _C.MODEL.RPN.CONV_DIMS = [-1]
+
+    # ---------------- MODEL.ROI_HEADS ----------------
+    _C.MODEL.ROI_HEADS = CfgNode()
+    _C.MODEL.ROI_HEADS.NAME = "CLIPRes5ROIHeads"
+    _C.MODEL.ROI_HEADS.NUM_CLASSES = 80
+    _C.MODEL.ROI_HEADS.IN_FEATURES = ["res4"]
+    _C.MODEL.ROI_HEADS.IOU_THRESHOLDS = [0.5]
+    _C.MODEL.ROI_HEADS.IOU_LABELS = [0, 1]
+    _C.MODEL.ROI_HEADS.BATCH_SIZE_PER_IMAGE = 512
+    _C.MODEL.ROI_HEADS.POSITIVE_FRACTION = 0.25
+    _C.MODEL.ROI_HEADS.SCORE_THRESH_TEST = 0.05
+    _C.MODEL.ROI_HEADS.NMS_THRESH_TEST = 0.5
+    _C.MODEL.ROI_HEADS.PROPOSAL_APPEND_GT = True
+    _C.MODEL.ROI_HEADS.SOFT_NMS_ENABLED = False
+    _C.MODEL.ROI_HEADS.SOFT_NMS_METHOD = "gaussian"
+    _C.MODEL.ROI_HEADS.SOFT_NMS_SIGMA = 0.5
+    _C.MODEL.ROI_HEADS.SOFT_NMS_PRUNE = 0.001
+
+    _C.MODEL.ROI_BOX_HEAD = CfgNode()
+    _C.MODEL.ROI_BOX_HEAD.NAME = ""
+    _C.MODEL.ROI_BOX_HEAD.BBOX_REG_LOSS_TYPE = "smooth_l1"
+    _C.MODEL.ROI_BOX_HEAD.BBOX_REG_LOSS_WEIGHT = 1.0
+    _C.MODEL.ROI_BOX_HEAD.BBOX_REG_WEIGHTS = (10.0, 10.0, 5.0, 5.0)
+    _C.MODEL.ROI_BOX_HEAD.SMOOTH_L1_BETA = 0.0
+    _C.MODEL.ROI_BOX_HEAD.POOLER_RESOLUTION = 14
+    _C.MODEL.ROI_BOX_HEAD.POOLER_SAMPLING_RATIO = 0
+    _C.MODEL.ROI_BOX_HEAD.POOLER_TYPE = "ROIAlignV2"
+    _C.MODEL.ROI_BOX_HEAD.NUM_FC = 0
+    _C.MODEL.ROI_BOX_HEAD.FC_DIM = 1024
+    _C.MODEL.ROI_BOX_HEAD.NUM_CONV = 0
+    _C.MODEL.ROI_BOX_HEAD.CONV_DIM = 256
+    _C.MODEL.ROI_BOX_HEAD.NORM = ""
+    _C.MODEL.ROI_BOX_HEAD.CLS_AGNOSTIC_BBOX_REG = False
+    _C.MODEL.ROI_BOX_HEAD.TRAIN_ON_PRED_BOXES = False
+
+    # ---------------- MODEL.CLIP (reference defaults.py:195-238) ----------------
+    _C.MODEL.CLIP = CfgNode()
+    _C.MODEL.CLIP.CROP_REGION_TYPE = "RPN"
+    _C.MODEL.CLIP.BB_RPN_WEIGHTS = None
+    _C.MODEL.CLIP.IMS_PER_BATCH_TEST = 8
+    _C.MODEL.CLIP.USE_TEXT_EMB_CLASSIFIER = False
+    _C.MODEL.CLIP.TEXT_EMB_PATH = None
+    _C.MODEL.CLIP.OFFLINE_RPN_CONFIG = None
+    _C.MODEL.CLIP.NO_BOX_DELTA = False
+    _C.MODEL.CLIP.BG_CLS_LOSS_WEIGHT = None
+    _C.MODEL.CLIP.ONLY_SAMPLE_FG_PROPOSALS = False
+    _C.MODEL.CLIP.MULTIPLY_RPN_SCORE = False
+    _C.MODEL.CLIP.OPENSET_TEST_NUM_CLASSES = None
+    _C.MODEL.CLIP.OPENSET_TEST_TEXT_EMB_PATH = None
+    _C.MODEL.CLIP.CLSS_TEMP = 0.01
+    _C.MODEL.CLIP.RUN_CVPR_OVR = False
+    _C.MODEL.CLIP.FOCAL_SCALED_LOSS = None
+    _C.MODEL.CLIP.OFFLINE_RPN_NMS_THRESH = 0.9
+    _C.MODEL.CLIP.PRETRAIN_IMG_TXT_LEVEL = True
+    _C.MODEL.CLIP.PRETRAIN_ONLY_EOT = False
+    _C.MODEL.CLIP.PRETRAIN_RPN_REGIONS = None
+    _C.MODEL.CLIP.PRETRAIN_SAMPLE_REGIONS = None
+    _C.MODEL.CLIP.GATHER_GPUS = False
+    _C.MODEL.CLIP.GRID_REGIONS = False
+    _C.MODEL.CLIP.CONCEPT_POOL_EMB = None
+    _C.MODEL.CLIP.CONCEPT_THRES = None
+    _C.MODEL.CLIP.OFFLINE_RPN_LSJ_PRETRAINED = False
+    _C.MODEL.CLIP.TEACHER_RESNETS_DEPTH = 50
+    _C.MODEL.CLIP.TEACHER_CONCEPT_POOL_EMB = None
+    _C.MODEL.CLIP.TEACHER_POOLER_RESOLUTION = 14
+    _C.MODEL.CLIP.TEXT_EMB_DIM = 1024
+
+    # ---------------- MODEL.TEXT_ENCODER (lang encoder hyperparams) ----------------
+    _C.MODEL.TEXT_ENCODER = CfgNode()
+    _C.MODEL.TEXT_ENCODER.CONTEXT_LENGTH = 77
+    _C.MODEL.TEXT_ENCODER.VOCAB_SIZE = 49408
+    _C.MODEL.TEXT_ENCODER.WIDTH = 512
+    _C.MODEL.TEXT_ENCODER.HEADS = 8
+    _C.MODEL.TEXT_ENCODER.LAYERS = 12
+
+    # ---------------- INPUT ----------------
+    _C.INPUT = CfgNode()
+    _C.INPUT.MIN_SIZE_TRAIN = (800,)
+    _C.INPUT.MIN_SIZE_TRAIN_SAMPLING = "choice"
+    _C.INPUT.MAX_SIZE_TRAIN = 1333
+    _C.INPUT.MIN_SIZE_TEST = 800
+    _C.INPUT.MAX_SIZE_TEST = 1333
+    _C.INPUT.RANDOM_FLIP = "horizontal"
+    _C.INPUT.CROP = CfgNode()
+    _C.INPUT.CROP.ENABLED = False
+    _C.INPUT.CROP.TYPE = "relative_range"
+    _C.INPUT.CROP.SIZE = [0.9, 0.9]
+    _C.INPUT.FORMAT = "BGR"
+    _C.INPUT.MASK_FORMAT = "polygon"
+
+    # ---------------- DATASETS ----------------
+    _C.DATASETS = CfgNode()
+    _C.DATASETS.TRAIN = ()
+    _C.DATASETS.TEST = ()
+    _C.DATASETS.PROPOSAL_FILES_TRAIN = ()
+    _C.DATASETS.PROPOSAL_FILES_TEST = ()
+    _C.DATASETS.PRECOMPUTED_PROPOSAL_TOPK_TRAIN = 2000
+    _C.DATASETS.PRECOMPUTED_PROPOSAL_TOPK_TEST = 1000
+    # semi-supervised (add_ateacher_config merges TRAIN_LABEL/TRAIN_UNLABEL)
+
+    # ---------------- DATALOADER ----------------
+    _C.DATALOADER = CfgNode()
+    _C.DATALOADER.NUM_WORKERS = 4
+    _C.DATALOADER.ASPECT_RATIO_GROUPING = True
+    _C.DATALOADER.SAMPLER_TRAIN = "TrainingSampler"
+    _C.DATALOADER.REPEAT_THRESHOLD = 0.0
+    _C.DATALOADER.FILTER_EMPTY_ANNOTATIONS = True
+
+    # ---------------- SOLVER ----------------
+    _C.SOLVER = CfgNode()
+    _C.SOLVER.IMS_PER_BATCH = 16
+    _C.SOLVER.BASE_LR = 0.001
+    _C.SOLVER.MOMENTUM = 0.9
+    _C.SOLVER.NESTEROV = False
+    _C.SOLVER.WEIGHT_DECAY = 0.0001
+    _C.SOLVER.WEIGHT_DECAY_NORM = 0.0
+    _C.SOLVER.WEIGHT_DECAY_BIAS = None
+    _C.SOLVER.GAMMA = 0.1
+    _C.SOLVER.STEPS = (30000,)
+    _C.SOLVER.MAX_ITER = 40000
+    _C.SOLVER.WARMUP_FACTOR = 1.0 / 1000
+    _C.SOLVER.WARMUP_ITERS = 1000
+    _C.SOLVER.WARMUP_METHOD = "linear"
+    _C.SOLVER.LR_SCHEDULER_NAME = "WarmupMultiStepLR"
+    _C.SOLVER.CHECKPOINT_PERIOD = 5000
+    _C.SOLVER.BIAS_LR_FACTOR = 1.0
+    _C.SOLVER.REFERENCE_WORLD_SIZE = 0
+    _C.SOLVER.CLIP_GRADIENTS = CfgNode()
+    _C.SOLVER.CLIP_GRADIENTS.ENABLED = False
+    _C.SOLVER.CLIP_GRADIENTS.CLIP_TYPE = "norm"
+    _C.SOLVER.CLIP_GRADIENTS.CLIP_VALUE = 1.0
+    _C.SOLVER.CLIP_GRADIENTS.NORM_TYPE = 2.0
+    _C.SOLVER.AMP = CfgNode()
+    _C.SOLVER.AMP.ENABLED = False
+
+    # ---------------- TEST ----------------
+    _C.TEST = CfgNode()
+    _C.TEST.EVAL_PERIOD = 0
+    _C.TEST.EXPECTED_RESULTS = []
+    _C.TEST.DETECTIONS_PER_IMAGE = 100
+    _C.TEST.AUG = CfgNode()
+    _C.TEST.AUG.ENABLED = False
+    _C.TEST.AUG.MIN_SIZES = (400, 500, 600, 700, 800, 900, 1000, 1100, 1200)
+    _C.TEST.AUG.MAX_SIZE = 4000
+    _C.TEST.AUG.FLIP = True
+    _C.TEST.PRECISE_BN = CfgNode()
+    _C.TEST.PRECISE_BN.ENABLED = False
+    _C.TEST.PRECISE_BN.NUM_ITER = 200
+
+    # ---------------- TPU-native additions ----------------
+    _C.TPU = CfgNode()
+    _C.TPU.MESH_SHAPE = [-1]          # -1 = all devices on one 'data' axis
+    _C.TPU.MESH_AXES = ["data"]
+    _C.TPU.COMPUTE_DTYPE = "bfloat16"  # conv/matmul compute dtype
+    _C.TPU.PARAM_DTYPE = "float32"
+    # static-shape capacities (pad-and-mask discipline; SURVEY.md §7 point 1)
+    _C.TPU.MAX_GT_BOXES = 100
+    _C.TPU.PAD_SIZE_TRAIN = [800, 1344]   # H, W after resize; multiple of 16
+    _C.TPU.PAD_SIZE_TEST = [800, 1344]
+    _C.TPU.NMS_PAD = 0                 # 0 = use POST_NMS_TOPK
+    _C.TPU.REGION_CONSISTENCY_BOXES = 16  # randperm[:16] in reference rcnn.py:437
+    _C.TPU.V2L_IMAGE_SIZE = 224
+
+    # ---------------- VIS / MISC ----------------
+    _C.VIS_PERIOD = 0
+    _C.GLOBAL = CfgNode()
+    _C.GLOBAL.HACK = 1.0
+
+    return _C

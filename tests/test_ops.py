@@ -1,0 +1,218 @@
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cddmsl_tpu.ops import (
+    Box2BoxTransform,
+    anchor_grid,
+    batched_nms,
+    generate_cell_anchors,
+    nms,
+    nms_mask,
+    roi_align,
+    roi_align_gather,
+    soft_nms,
+)
+
+
+# ---------------- NMS ----------------
+def np_greedy_nms(boxes, scores, thresh):
+    order = np.argsort(-scores, kind="stable")
+    keep = []
+    suppressed = np.zeros(len(boxes), bool)
+    for i in order:
+        if suppressed[i]:
+            continue
+        keep.append(i)
+        for j in order:
+            if suppressed[j] or j == i:
+                continue
+            # iou
+            lt = np.maximum(boxes[i, :2], boxes[j, :2])
+            rb = np.minimum(boxes[i, 2:], boxes[j, 2:])
+            wh = np.clip(rb - lt, 0, None)
+            inter = wh[0] * wh[1]
+            ua = (
+                (boxes[i, 2] - boxes[i, 0]) * (boxes[i, 3] - boxes[i, 1])
+                + (boxes[j, 2] - boxes[j, 0]) * (boxes[j, 3] - boxes[j, 1])
+                - inter
+            )
+            if scores[j] <= scores[i] and inter / ua > thresh:
+                suppressed[j] = True
+    return sorted(keep)
+
+
+@pytest.mark.parametrize("n,thresh", [(50, 0.5), (300, 0.7)])
+def test_nms_matches_greedy_oracle(rng, n, thresh):
+    boxes = rng.rand(n, 4).astype(np.float32) * 80
+    boxes[:, 2:] = boxes[:, :2] + 1 + rng.rand(n, 2).astype(np.float32) * 60
+    scores = rng.rand(n).astype(np.float32)
+    keep_mask = np.asarray(nms_mask(jnp.asarray(boxes), jnp.asarray(scores), thresh))
+    got = sorted(np.nonzero(keep_mask)[0].tolist())
+    want = np_greedy_nms(boxes, scores, thresh)
+    assert got == want
+
+
+def test_nms_matches_torchvision(rng):
+    tv = pytest.importorskip("torchvision")
+    import torch
+
+    n = 400
+    boxes = rng.rand(n, 4).astype(np.float32) * 100
+    boxes[:, 2:] = boxes[:, :2] + 1 + rng.rand(n, 2).astype(np.float32) * 50
+    scores = rng.rand(n).astype(np.float32)
+    idx, valid = nms(jnp.asarray(boxes), jnp.asarray(scores), 0.5, max_out=n)
+    got = set(np.asarray(idx)[np.asarray(valid)].tolist())
+    want = set(tv.ops.nms(torch.tensor(boxes), torch.tensor(scores), 0.5).numpy().tolist())
+    assert got == want
+
+
+def test_nms_respects_validity_and_padding(rng):
+    n = 64
+    boxes = rng.rand(n, 4).astype(np.float32) * 50
+    boxes[:, 2:] = boxes[:, :2] + 5
+    scores = rng.rand(n).astype(np.float32)
+    valid = np.arange(n) < 10
+    keep = np.asarray(nms_mask(jnp.asarray(boxes), jnp.asarray(scores), 0.5, valid=jnp.asarray(valid)))
+    assert not keep[10:].any()
+    want = np_greedy_nms(boxes[:10], scores[:10], 0.5)
+    assert sorted(np.nonzero(keep[:10])[0].tolist()) == want
+
+
+def test_nms_output_sorted_by_score(rng):
+    n = 100
+    boxes = rng.rand(n, 4).astype(np.float32) * 100
+    boxes[:, 2:] = boxes[:, :2] + 10
+    scores = rng.rand(n).astype(np.float32)
+    idx, valid = nms(jnp.asarray(boxes), jnp.asarray(scores), 0.5, max_out=20)
+    kept = np.asarray(idx)[np.asarray(valid)]
+    s = scores[kept]
+    assert (np.diff(s) <= 1e-6).all()
+
+
+def test_batched_nms_no_cross_class_suppression():
+    boxes = jnp.asarray([[0.0, 0, 10, 10], [0, 0, 10, 10]])
+    scores = jnp.asarray([0.9, 0.8])
+    classes = jnp.asarray([0, 1])
+    idx, valid = batched_nms(boxes, scores, classes, 0.5, max_out=2)
+    assert int(valid.sum()) == 2  # identical boxes, different classes: both kept
+
+
+# ---------------- soft NMS ----------------
+def test_soft_nms_decays_overlaps():
+    boxes = jnp.asarray([[0.0, 0, 10, 10], [1, 1, 11, 11], [50, 50, 60, 60]])
+    scores = jnp.asarray([0.9, 0.85, 0.5])
+    idx, new_scores, valid = soft_nms(boxes, scores, method="gaussian", max_out=3)
+    i = np.asarray(idx)
+    assert i[0] == 0
+    # overlapping box decayed below the far-away box
+    assert float(new_scores[np.nonzero(i == 1)[0][0]]) < 0.85
+    assert np.asarray(valid).all()
+
+
+# ---------------- RoIAlign ----------------
+@pytest.mark.parametrize("aligned", [True, False])
+def test_roi_align_matmul_matches_gather(rng, aligned):
+    feat = rng.rand(24, 32, 8).astype(np.float32)
+    rois = np.array(
+        [
+            [0, 0, 16 * 20, 16 * 20],
+            [16 * 3.5, 16 * 2.2, 16 * 19.9, 16 * 12.0],
+            [100, 100, 101, 101],  # tiny
+            [-50, -50, 10, 10],  # partially out of range
+        ],
+        np.float32,
+    )
+    a = roi_align(jnp.asarray(feat), jnp.asarray(rois), (7, 7), 1 / 16, 2, aligned)
+    b = roi_align_gather(jnp.asarray(feat), jnp.asarray(rois), (7, 7), 1 / 16, 2, aligned)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
+
+
+def test_roi_align_matches_torchvision(rng):
+    tv = pytest.importorskip("torchvision")
+    import torch
+
+    H, W, C = 25, 31, 4
+    feat = rng.rand(H, W, C).astype(np.float32)
+    rois = rng.rand(10, 4).astype(np.float32) * 200
+    rois[:, 2:] = rois[:, :2] + 10 + rng.rand(10, 2).astype(np.float32) * 150
+
+    got = roi_align(jnp.asarray(feat), jnp.asarray(rois), (14, 14), 1 / 16, 2, True)
+
+    t_feat = torch.tensor(feat).permute(2, 0, 1)[None]  # NCHW
+    t_rois = torch.cat([torch.zeros(10, 1), torch.tensor(rois)], dim=1)
+    want = tv.ops.roi_align(t_feat, t_rois, (14, 14), 1 / 16, 2, aligned=True)
+    want = want.permute(0, 2, 3, 1).numpy()
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4, atol=1e-5)
+
+
+def test_roi_align_chunking_consistent(rng):
+    feat = rng.rand(16, 16, 4).astype(np.float32)
+    rois = rng.rand(70, 4).astype(np.float32) * 100
+    rois[:, 2:] = rois[:, :2] + 20
+    full = roi_align(jnp.asarray(feat), jnp.asarray(rois), (7, 7), 1 / 16, 2, True, chunk_size=128)
+    chunked = roi_align(jnp.asarray(feat), jnp.asarray(rois), (7, 7), 1 / 16, 2, True, chunk_size=32)
+    np.testing.assert_allclose(np.asarray(full), np.asarray(chunked), rtol=1e-5, atol=1e-6)
+
+
+def test_roi_align_gradients_flow(rng):
+    import jax
+
+    feat = jnp.asarray(rng.rand(16, 16, 4).astype(np.float32))
+    rois = jnp.asarray([[8.0, 8, 200, 200]])
+
+    def loss(f):
+        return jnp.sum(roi_align(f, rois, (7, 7), 1 / 16, 2, True))
+
+    g = jax.grad(loss)(feat)
+    assert np.isfinite(np.asarray(g)).all()
+    assert float(jnp.abs(g).sum()) > 0
+
+
+# ---------------- Box2BoxTransform ----------------
+def test_box2box_roundtrip(rng):
+    t = Box2BoxTransform((10.0, 10.0, 5.0, 5.0))
+    src = rng.rand(20, 4).astype(np.float32) * 100
+    src[:, 2:] = src[:, :2] + 5 + rng.rand(20, 2).astype(np.float32) * 80
+    tgt = rng.rand(20, 4).astype(np.float32) * 100
+    tgt[:, 2:] = tgt[:, :2] + 5 + rng.rand(20, 2).astype(np.float32) * 80
+    deltas = t.get_deltas(jnp.asarray(src), jnp.asarray(tgt))
+    back = t.apply_deltas(deltas, jnp.asarray(src))
+    np.testing.assert_allclose(np.asarray(back), tgt, rtol=1e-4, atol=1e-3)
+
+
+def test_box2box_matches_torch_reference(rng):
+    # oracle: hand-rolled numpy implementing the published d2 formulas
+    t = Box2BoxTransform((1.0, 1.0, 1.0, 1.0))
+    src = np.array([[0.0, 0, 10, 10]], np.float32)
+    deltas = np.array([[0.5, -0.25, np.log(2.0), np.log(0.5)]], np.float32)
+    out = np.asarray(t.apply_deltas(jnp.asarray(deltas), jnp.asarray(src)))
+    # center (5,5)+ (5, -2.5) -> (10, 2.5); size 10 -> (20, 5)
+    np.testing.assert_allclose(out[0], [0, 0, 20, 5], atol=1e-4)
+
+
+def test_box2box_padded_rows_finite():
+    t = Box2BoxTransform((10.0, 10.0, 5.0, 5.0))
+    zeros = jnp.zeros((4, 4))
+    d = t.get_deltas(zeros, zeros)
+    assert np.isfinite(np.asarray(d)).all()
+
+
+# ---------------- anchors ----------------
+def test_cell_anchors_areas_and_ratios():
+    a = generate_cell_anchors((32, 64), (0.5, 1.0, 2.0))
+    assert a.shape == (6, 4)
+    w = a[:, 2] - a[:, 0]
+    h = a[:, 3] - a[:, 1]
+    np.testing.assert_allclose(w * h, [32**2] * 3 + [64**2] * 3, rtol=1e-5)
+    np.testing.assert_allclose(h / w, [0.5, 1, 2, 0.5, 1, 2], rtol=1e-5)
+
+
+def test_anchor_grid_layout():
+    cell = generate_cell_anchors((32,), (1.0,))
+    g = np.asarray(anchor_grid(2, 3, 16, cell))
+    assert g.shape == (6, 4)
+    # first anchor centered at (0,0), second at (16,0)
+    np.testing.assert_allclose((g[0, :2] + g[0, 2:]) / 2, [0, 0], atol=1e-5)
+    np.testing.assert_allclose((g[1, :2] + g[1, 2:]) / 2, [16, 0], atol=1e-5)
+    np.testing.assert_allclose((g[3, :2] + g[3, 2:]) / 2, [0, 16], atol=1e-5)
