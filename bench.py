@@ -1,0 +1,102 @@
+"""Benchmark: CDDMSL training throughput (imgs/sec/chip) on one TPU chip.
+
+Measures the FULL training step — supervised Faster R-CNN losses on the
+source view plus the post-burn-up caption-consistency (image + region level)
+and KD branches — i.e. the reference's 90k-iteration hot loop
+(train_loop.py:311-389) with all alignment losses active.
+
+Baseline for `vs_baseline`: the reference publishes no throughput numbers
+(BASELINE.md). We use the Detectron2 model-zoo training speed of
+faster_rcnn_R_50_C4_1x — 0.551 s/iter at global batch 16 on 8 GPUs =
+3.63 imgs/sec/GPU — as the per-chip GPU baseline. The rebuild target is
+>=2x that (BASELINE.json).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+D2_GPU_IMGS_PER_SEC_PER_CHIP = 3.63
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_cddmsl")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from __graft_entry__ import _flagship_cfg, _synthetic_batch
+    from cddmsl_tpu.engine import TrainState, make_train_step
+    from cddmsl_tpu.models import build_model
+    from cddmsl_tpu.solver import build_lr_schedule, build_optimizer
+
+    h, w = 800, 1344  # the VOC recipe's padded bucket (short side 800)
+    warmup, iters = 3, 10
+
+    for batch_size in (8, 4, 2):
+        try:
+            cfg = _flagship_cfg()
+            cfg.TPU.COMPUTE_DTYPE = "bfloat16"
+            model = build_model(cfg)
+            rng = jax.random.PRNGKey(0)
+            init_batch = _synthetic_batch(1, 128, 160)
+            t0 = time.time()
+            params = model.init({"params": rng}, init_batch, rng, method=model.init_all)
+            log(f"init done in {time.time()-t0:.1f}s")
+            optimizer = build_optimizer(cfg, params)
+            state = TrainState.create(params, optimizer)
+            state = state.replace(step=jnp.asarray(cfg.SOLVER.CAPTION_BURNUP_ITERS + 1, jnp.int32))
+
+            step_fn = make_train_step(
+                model,
+                optimizer,
+                enable_caption=True,
+                kd_regularization=True,
+                caption_burnup_iters=cfg.SOLVER.CAPTION_BURNUP_ITERS,
+                lr_schedule=build_lr_schedule(cfg),
+            )
+            batch = _synthetic_batch(batch_size, h, w, g=24, seed=1)
+
+            t0 = time.time()
+            for i in range(warmup):
+                state, metrics = step_fn(state, batch, jax.random.PRNGKey(i))
+            jax.block_until_ready(metrics)
+            log(f"batch={batch_size}: warmup+compile {time.time()-t0:.1f}s")
+
+            t0 = time.time()
+            for i in range(iters):
+                state, metrics = step_fn(state, batch, jax.random.PRNGKey(100 + i))
+            jax.block_until_ready(metrics)
+            dt = time.time() - t0
+            imgs_per_sec = batch_size * iters / dt
+            log(f"batch={batch_size}: {dt/iters*1000:.1f} ms/step, {imgs_per_sec:.2f} imgs/s")
+            log("metrics:", {k: float(v) for k, v in jax.device_get(metrics).items()})
+
+            print(
+                json.dumps(
+                    {
+                        "metric": "Train imgs/sec/chip (R50 FRCNN + align loss)",
+                        "value": round(imgs_per_sec, 3),
+                        "unit": "imgs/sec/chip",
+                        "vs_baseline": round(imgs_per_sec / D2_GPU_IMGS_PER_SEC_PER_CHIP, 3),
+                    }
+                )
+            )
+            return
+        except Exception as e:
+            log(f"batch={batch_size} failed: {type(e).__name__}: {e}")
+            continue
+    raise SystemExit("all batch sizes failed")
+
+
+if __name__ == "__main__":
+    main()

@@ -225,6 +225,9 @@ def get_default_cfg() -> CfgNode:
     _C.SOLVER.CLIP_GRADIENTS.NORM_TYPE = 2.0
     _C.SOLVER.AMP = CfgNode()
     _C.SOLVER.AMP.ENABLED = False
+    # CDDMSL: caption-consistency branches activate after this many iters
+    # (the reference hardcodes `self.iter <= 10000`, train_loop.py:334-360)
+    _C.SOLVER.CAPTION_BURNUP_ITERS = 10000
 
     # ---------------- TEST ----------------
     _C.TEST = CfgNode()
@@ -253,6 +256,7 @@ def get_default_cfg() -> CfgNode:
     _C.TPU.NMS_PAD = 0                 # 0 = use POST_NMS_TOPK
     _C.TPU.REGION_CONSISTENCY_BOXES = 16  # randperm[:16] in reference rcnn.py:437
     _C.TPU.V2L_IMAGE_SIZE = 224
+    _C.TPU.ENABLE_CAPTION_CONSISTENCY = True
 
     # ---------------- VIS / MISC ----------------
     _C.VIS_PERIOD = 0

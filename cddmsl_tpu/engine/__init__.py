@@ -1,0 +1,3 @@
+from .train_loop import TrainState, make_eval_step, make_train_step
+
+__all__ = ["TrainState", "make_eval_step", "make_train_step"]

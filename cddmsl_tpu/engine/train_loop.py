@@ -1,0 +1,104 @@
+"""The CDDMSL training step as ONE jitted program.
+
+Mirrors the reference SimpleTrainer.run_step (detectron2/engine/
+train_loop.py:311-389): supervised detection losses on the paired batch, plus
+— after a 10k-iteration burn-up — the image-level caption-consistency loss
+(+ optional KD regularizer) and the region-level caption-consistency loss,
+summed and SGD-stepped.
+
+TPU-first deltas:
+  * the reference computes the caption branches during burn-up and multiplies
+    by 0.0 to keep DDP graphs identical across ranks; a jit program has no
+    such constraint, so burn-up uses `lax.cond` — one compiled graph, and the
+    caption compute is actually skipped while `step <= burnup`
+  * gradient averaging across devices is implicit (batch sharded on the
+    'data' mesh axis, params replicated — XLA inserts the reductions)
+  * the NaN guard (reference train_loop.py:423-427 raising FloatingPointError)
+    is a host-side check over the returned metrics in the Trainer.
+"""
+
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from ..models.rcnn import DetBatch, GeneralizedRCNN
+from ..solver.build import build_lr_schedule
+
+
+class TrainState(struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any
+    opt_state: Any
+
+    @classmethod
+    def create(cls, params, optimizer: optax.GradientTransformation):
+        return cls(
+            step=jnp.zeros((), jnp.int32),
+            params=params,
+            opt_state=optimizer.init(params),
+        )
+
+
+def make_train_step(
+    model: GeneralizedRCNN,
+    optimizer: optax.GradientTransformation,
+    enable_caption: bool = True,
+    kd_regularization: bool = True,
+    caption_burnup_iters: int = 10000,
+    lr_schedule: Optional[Callable] = None,
+    donate: bool = True,
+) -> Callable[[TrainState, DetBatch, jax.Array], Tuple[TrainState, Dict[str, jnp.ndarray]]]:
+    """Returns jitted (state, batch, rng) -> (state, metrics)."""
+
+    def loss_fn(params, batch: DetBatch, rng: jax.Array, step: jnp.ndarray):
+        k_sup, k_region = jax.random.split(rng)
+        losses = model.apply(params, batch, k_sup, method=model.supervised_losses)
+
+        if enable_caption:
+            def caption_on(_):
+                cc = model.apply(params, batch, kd_regularization, method=model.caption_consistency)
+                ccr = model.apply(params, batch, k_region, method=model.caption_consistency_region)
+                return (
+                    cc["cont_loss"],
+                    cc.get("kd_loss", jnp.zeros(())),
+                    ccr["cont_loss_region"],
+                )
+
+            def caption_off(_):
+                return jnp.zeros(()), jnp.zeros(()), jnp.zeros(())
+
+            cont, kd, cont_region = jax.lax.cond(step > caption_burnup_iters, caption_on, caption_off, None)
+            losses["cont_loss"] = cont
+            if kd_regularization:
+                losses["kd_loss"] = kd
+            losses["cont_loss_region"] = cont_region
+
+        total = jnp.sum(jnp.stack([v for v in losses.values()]))
+        return total, losses
+
+    def train_step(state: TrainState, batch: DetBatch, rng: jax.Array):
+        (total, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, batch, rng, state.step
+        )
+        updates, new_opt_state = optimizer.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        metrics = dict(losses)
+        metrics["total_loss"] = total
+        if lr_schedule is not None:
+            metrics["lr"] = lr_schedule(state.step)
+        new_state = state.replace(step=state.step + 1, params=new_params, opt_state=new_opt_state)
+        return new_state, metrics
+
+    return jax.jit(train_step, donate_argnums=(0,) if donate else ())
+
+
+def make_eval_step(model: GeneralizedRCNN):
+    """Jitted inference step: (params, batch) -> DetectionResult."""
+
+    def eval_step(params, batch: DetBatch):
+        return model.apply(params, batch, method=model.inference)
+
+    return jax.jit(eval_step)

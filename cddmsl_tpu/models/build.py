@@ -1,0 +1,73 @@
+"""Model builders + registries (reference: detectron2/modeling/meta_arch/
+build.py:25 build_model, META_ARCH_REGISTRY)."""
+
+from typing import Any
+
+import jax.numpy as jnp
+
+from ..utils.registry import Registry
+from .backbone.clip_resnet import RESNET_SPECS, EMBED_DIMS, IMAGE_RESOLUTIONS
+from .rcnn import GeneralizedRCNN
+
+META_ARCH_REGISTRY = Registry("META_ARCH")
+BACKBONE_REGISTRY = Registry("BACKBONE")
+ROI_HEADS_REGISTRY = Registry("ROI_HEADS")
+
+
+def _dtype(cfg):
+    return jnp.bfloat16 if cfg.TPU.COMPUTE_DTYPE == "bfloat16" else jnp.float32
+
+
+@META_ARCH_REGISTRY.register()
+def build_generalized_rcnn(cfg) -> GeneralizedRCNN:
+    depth = cfg.MODEL.RESNETS.DEPTH
+    layers, width = RESNET_SPECS[depth]
+    focal = cfg.MODEL.CLIP.FOCAL_SCALED_LOSS
+    bgw = cfg.MODEL.CLIP.BG_CLS_LOSS_WEIGHT
+    return GeneralizedRCNN(
+        backbone_layers=tuple(layers),
+        backbone_width=width,
+        backbone_out_features=tuple(cfg.MODEL.RESNETS.OUT_FEATURES),
+        embed_dim=EMBED_DIMS[depth],
+        input_resolution=IMAGE_RESOLUTIONS[depth],
+        anchor_sizes=tuple(s for group in cfg.MODEL.ANCHOR_GENERATOR.SIZES for s in (group if isinstance(group, (list, tuple)) else [group])),
+        anchor_aspect_ratios=tuple(cfg.MODEL.ANCHOR_GENERATOR.ASPECT_RATIOS[0]),
+        rpn_batch_size_per_image=cfg.MODEL.RPN.BATCH_SIZE_PER_IMAGE,
+        rpn_positive_fraction=cfg.MODEL.RPN.POSITIVE_FRACTION,
+        rpn_pre_nms_topk=(cfg.MODEL.RPN.PRE_NMS_TOPK_TRAIN, cfg.MODEL.RPN.PRE_NMS_TOPK_TEST),
+        rpn_post_nms_topk=(cfg.MODEL.RPN.POST_NMS_TOPK_TRAIN, cfg.MODEL.RPN.POST_NMS_TOPK_TEST),
+        rpn_nms_thresh=cfg.MODEL.RPN.NMS_THRESH,
+        rpn_loss_weight=cfg.MODEL.RPN.LOSS_WEIGHT,
+        num_classes=cfg.MODEL.ROI_HEADS.NUM_CLASSES,
+        roi_batch_size_per_image=cfg.MODEL.ROI_HEADS.BATCH_SIZE_PER_IMAGE,
+        roi_positive_fraction=cfg.MODEL.ROI_HEADS.POSITIVE_FRACTION,
+        pooler_resolution=cfg.MODEL.ROI_BOX_HEAD.POOLER_RESOLUTION,
+        use_text_emb=cfg.MODEL.CLIP.USE_TEXT_EMB_CLASSIFIER,
+        temperature=cfg.MODEL.CLIP.CLSS_TEMP,
+        focal_gamma=float(focal) if focal is not None else None,
+        bg_loss_weight=float(bgw) if bgw is not None else None,
+        cls_agnostic_bbox_reg=cfg.MODEL.ROI_BOX_HEAD.CLS_AGNOSTIC_BBOX_REG,
+        score_thresh_test=cfg.MODEL.ROI_HEADS.SCORE_THRESH_TEST,
+        nms_thresh_test=cfg.MODEL.ROI_HEADS.NMS_THRESH_TEST,
+        detections_per_image=cfg.TEST.DETECTIONS_PER_IMAGE,
+        pixel_mean=tuple(cfg.MODEL.PIXEL_MEAN),
+        pixel_std=tuple(cfg.MODEL.PIXEL_STD),
+        region_consistency_boxes=cfg.TPU.REGION_CONSISTENCY_BOXES,
+        v2l_image_size=cfg.TPU.V2L_IMAGE_SIZE,
+        dtype=_dtype(cfg),
+    )
+
+
+def build_model(cfg):
+    """cfg.MODEL.META_ARCHITECTURE -> flax module (params are created
+    separately with module.init — JAX models are pure functions)."""
+    name = cfg.MODEL.META_ARCHITECTURE
+    builder = {
+        "GeneralizedRCNN": build_generalized_rcnn,
+    }.get(name)
+    if builder is None:
+        if name in META_ARCH_REGISTRY:
+            builder = META_ARCH_REGISTRY.get(name)
+        else:
+            raise KeyError(f"Unknown META_ARCHITECTURE: {name}")
+    return builder(cfg)

@@ -1,0 +1,115 @@
+"""ClipCap vision-to-language prefix mapper (Flax).
+
+Re-implements the reference TransformerMapper (detectron2/modeling/backbone/
+clipcap/clipcap.py:149-163) and its pre-LN transformer (clipcap.py:56-146):
+  * Linear(dim_clip -> clip_length*768), viewed as `clip_length` tokens
+  * concatenated with a learned `prefix_const` (prefix_length tokens)
+  * 8-layer, 8-head, mlp_ratio=2, ReLU, pre-LN transformer
+    (attention qkv bias=False, output projection bias=True)
+  * output = the transformed prefix positions [clip_length:]
+
+`v2l` (clipcap.py:714-719) maps a CLIP image embedding into GPT-2 space and
+takes the LAST prefix token. The mapper is FROZEN in CDDMSL (loaded from
+MODEL.VISION_TO_LANG_PATH, train_loop.py:281-288) but gradients flow through
+it into the student backbone — freezing is an optimizer mask, not a
+stop_gradient.
+"""
+
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+class ClipCapAttention(nn.Module):
+    """MultiHeadAttention of clipcap.py:56-87: qkv bias=False, proj bias=True."""
+
+    dim: int
+    heads: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        b, n, c = x.shape
+        q = nn.Dense(c, use_bias=False, dtype=self.dtype, param_dtype=jnp.float32, name="to_queries")(x)
+        kv = nn.Dense(2 * c, use_bias=False, dtype=self.dtype, param_dtype=jnp.float32, name="to_keys_values")(x)
+        k, v = jnp.split(kv, 2, axis=-1)
+        hd = c // self.heads
+        q = q.reshape(b, n, self.heads, hd)
+        k = k.reshape(b, n, self.heads, hd)
+        v = v.reshape(b, n, self.heads, hd)
+        attn = jnp.einsum("bnhd,bmhd->bhnm", q, k, preferred_element_type=jnp.float32)
+        attn = jax.nn.softmax(attn * (hd ** -0.5), axis=-1).astype(self.dtype)
+        out = jnp.einsum("bhnm,bmhd->bnhd", attn, v).reshape(b, n, c)
+        return nn.Dense(c, dtype=self.dtype, param_dtype=jnp.float32, name="project")(out)
+
+
+class ClipCapLayer(nn.Module):
+    """Pre-LN block, ReLU MLP with mlp_ratio=2 (clipcap.py:90-110)."""
+
+    dim: int
+    heads: int
+    mlp_ratio: float = 2.0
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        h = nn.LayerNorm(dtype=jnp.float32, name="norm1")(x).astype(self.dtype)
+        x = x + ClipCapAttention(self.dim, self.heads, dtype=self.dtype, name="attn")(h)
+        h = nn.LayerNorm(dtype=jnp.float32, name="norm2")(x).astype(self.dtype)
+        h = nn.Dense(int(self.dim * self.mlp_ratio), dtype=self.dtype, param_dtype=jnp.float32, name="mlp_fc1")(h)
+        h = nn.relu(h)
+        h = nn.Dense(self.dim, dtype=self.dtype, param_dtype=jnp.float32, name="mlp_fc2")(h)
+        return x + h
+
+
+class TransformerMapper(nn.Module):
+    """clipcap.py:149-163. x: (B, dim_clip) -> (B, prefix_length, dim_embedding)."""
+
+    dim_clip: int = 1024
+    dim_embedding: int = 768
+    prefix_length: int = 40
+    clip_length: int = 40
+    num_layers: int = 8
+    num_heads: int = 8
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        b = x.shape[0]
+        tokens = nn.Dense(
+            self.clip_length * self.dim_embedding, dtype=self.dtype, param_dtype=jnp.float32, name="linear"
+        )(x.astype(self.dtype)).reshape(b, self.clip_length, self.dim_embedding)
+        prefix_const = self.param(
+            "prefix_const", nn.initializers.normal(1.0), (self.prefix_length, self.dim_embedding)
+        )
+        seq = jnp.concatenate(
+            [tokens, jnp.broadcast_to(prefix_const.astype(self.dtype), (b, self.prefix_length, self.dim_embedding))],
+            axis=1,
+        )
+        for i in range(self.num_layers):
+            seq = ClipCapLayer(self.dim_embedding, self.num_heads, dtype=self.dtype, name=f"layers_{i}")(seq)
+        return seq[:, self.clip_length :]
+
+
+def v2l(prefix_tokens: jnp.ndarray) -> jnp.ndarray:
+    """Last prefix token = the language-domain embedding (clipcap.py:714-719:
+    clip_project(x).view(-1, 40, 768)[:, -1, :])."""
+    return prefix_tokens[:, -1, :]
+
+
+class Projector(nn.Module):
+    """Trainable contrastive head: Linear(768,768)-ReLU-Linear(768,256)
+    (reference rcnn.py:95-99)."""
+
+    in_dim: int = 768
+    hidden: int = 768
+    out_dim: int = 256
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Dense(self.hidden, dtype=self.dtype, param_dtype=jnp.float32, name="fc1")(x.astype(self.dtype))
+        x = nn.relu(x)
+        return nn.Dense(self.out_dim, dtype=self.dtype, param_dtype=jnp.float32, name="fc2")(x)

@@ -1,0 +1,225 @@
+"""C4 RoI heads for the CLIP ResNet (TPU-native).
+
+Re-implements the reference CLIPRes5ROIHeads (detectron2/modeling/roi_heads/
+clip_roi_heads.py:28-199) and the shared label_and_sample_proposals logic
+(roi_heads.py:237-296):
+  * proposals (+appended GT, add_ground_truth_to_proposals) are matched to GT
+    with an IoU-0.5 matcher, then 512/img are sampled at 0.25 positive
+    fraction — here as fixed-capacity index buffers with validity masks
+  * pooling is the MXU RoIAlign (ops/roi_align.py) at res4 stride 16, then
+    the *backbone's* layer4 (res5) runs on the pooled 14x14 crops and
+    AttentionPool2d produces 1024-d region embeddings (clip_roi_heads.py
+    _shared_roi_transform :115 + forward :134-176)
+  * `forward_get_features` pools the SAME boxes from two feature maps for the
+    region-level consistency loss (clip_roi_heads.py:117-132)
+
+res5/attnpool are passed in as callables by the meta-arch (the reference
+passes backbone.layer4 / backbone.attnpool the same way).
+"""
+
+from typing import Any, Callable, Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..ops.box_regression import Box2BoxTransform
+from ..ops.roi_align import roi_align
+from ..structures import boxes as box_ops
+from .fast_rcnn import (
+    DetectionResult,
+    FastRCNNOutputLayers,
+    fast_rcnn_inference_single_image,
+    fast_rcnn_losses,
+)
+from .matcher import Matcher
+from .rpn import Proposals
+from .sampling import gather_selected, subsample_labels
+
+
+class SampledProposals(Tuple):
+    pass
+
+
+class CLIPRes5ROIHeads(nn.Module):
+    num_classes: int = 20
+    batch_size_per_image: int = 512
+    positive_fraction: float = 0.25
+    iou_thresholds: Sequence[float] = (0.5,)
+    iou_labels: Sequence[int] = (0, 1)
+    proposal_append_gt: bool = True
+    pooler_resolution: int = 14
+    pooler_scale: float = 1.0 / 16
+    pooler_sampling_ratio: int = 0
+    bbox_reg_weights: Sequence[float] = (10.0, 10.0, 5.0, 5.0)
+    smooth_l1_beta: float = 0.0
+    box_reg_loss_type: str = "smooth_l1"
+    use_text_emb: bool = True
+    emb_dim: int = 1024
+    temperature: float = 0.01
+    focal_gamma: Optional[float] = None
+    bg_loss_weight: Optional[float] = None
+    cls_agnostic_bbox_reg: bool = False
+    score_thresh_test: float = 0.05
+    nms_thresh_test: float = 0.5
+    detections_per_image: int = 100
+    only_sample_fg: bool = False
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        self.box_predictor = FastRCNNOutputLayers(
+            num_classes=self.num_classes,
+            input_size=self.emb_dim,
+            use_text_emb=self.use_text_emb,
+            temperature=self.temperature,
+            cls_agnostic_bbox_reg=self.cls_agnostic_bbox_reg,
+            dtype=self.dtype,
+        )
+        self.box2box = Box2BoxTransform(self.bbox_reg_weights)
+        self.matcher = Matcher(self.iou_thresholds, self.iou_labels, allow_low_quality_matches=False)
+
+    # ---------- sampling ----------
+    def label_and_sample_proposals(
+        self,
+        rng: jax.Array,
+        proposals: Proposals,
+        gt_boxes: jnp.ndarray,  # (B, G, 4)
+        gt_classes: jnp.ndarray,  # (B, G)
+        gt_valid: jnp.ndarray,  # (B, G)
+    ):
+        """Returns per-image fixed-size samples:
+        boxes (B,S,4), classes (B,S) in [0,K], matched_gt (B,S,4), valid (B,S)."""
+        b = proposals.boxes.shape[0]
+        keys = jax.random.split(rng, b)
+
+        def per_image(pboxes, pvalid, gtb, gtc, gtv, key):
+            if self.proposal_append_gt:
+                pboxes = jnp.concatenate([pboxes, gtb], axis=0)
+                pvalid = jnp.concatenate([pvalid, gtv], axis=0)
+            iou = box_ops.pairwise_iou(gtb, pboxes)  # (G, P)
+            iou = jnp.where(pvalid[None, :], iou, -1.0)
+            matched_idxs, match_labels = self.matcher(iou, gtv)
+            has_gt = jnp.any(gtv)
+            classes = jnp.where(
+                match_labels == 1, gtc[matched_idxs], self.num_classes
+            )
+            classes = jnp.where(match_labels == -1, -1, classes)
+            classes = jnp.where(has_gt, classes, self.num_classes)
+            classes = jnp.where(pvalid, classes, -1)  # padded proposals ignored
+
+            positive = (classes >= 0) & (classes < self.num_classes)
+            negative = classes == self.num_classes
+            if self.only_sample_fg:  # MODEL.CLIP.ONLY_SAMPLE_FG_PROPOSALS
+                negative = jnp.zeros_like(negative)
+            k1, k2 = jax.random.split(key)
+            pos_sel, neg_sel = subsample_labels(
+                k1, positive, negative, self.batch_size_per_image, self.positive_fraction
+            )
+            idx, valid = gather_selected(k2, pos_sel, neg_sel, self.batch_size_per_image)
+            return (
+                pboxes[idx],
+                jnp.where(valid, classes[idx], self.num_classes),
+                gtb[matched_idxs[idx]],
+                valid,
+            )
+
+        return jax.vmap(per_image)(
+            proposals.boxes, proposals.valid, gt_boxes, gt_classes, gt_valid, keys
+        )
+
+    # ---------- pooling ----------
+    def pool(self, features: jnp.ndarray, boxes: jnp.ndarray) -> jnp.ndarray:
+        """features (B,H,W,C), boxes (B,S,4) -> (B*S, P, P, C)."""
+        pooled = jax.vmap(
+            lambda f, bx: roi_align(
+                f,
+                bx,
+                (self.pooler_resolution, self.pooler_resolution),
+                self.pooler_scale,
+                self.pooler_sampling_ratio,
+                True,
+            )
+        )(features, boxes)
+        b, s = boxes.shape[:2]
+        return pooled.reshape(b * s, self.pooler_resolution, self.pooler_resolution, -1)
+
+    # ---------- forward ----------
+    def __call__(
+        self,
+        features: jnp.ndarray,  # (B, H, W, C) res4
+        proposals: Proposals,
+        image_sizes: jnp.ndarray,
+        training: bool,
+        res5_fn: Callable,
+        attnpool_fn: Optional[Callable],
+        gt_boxes: Optional[jnp.ndarray] = None,
+        gt_classes: Optional[jnp.ndarray] = None,
+        gt_valid: Optional[jnp.ndarray] = None,
+        rng: Optional[jax.Array] = None,
+    ):
+        b = features.shape[0]
+        if training:
+            boxes, classes, matched_gt, valid = self.label_and_sample_proposals(
+                rng, proposals, gt_boxes, gt_classes, gt_valid
+            )
+            region_feats = self._region_embed(features, boxes, res5_fn, attnpool_fn)
+            scores, deltas = self.box_predictor(region_feats)
+            s = boxes.shape[1]
+            losses = fast_rcnn_losses(
+                scores,
+                deltas,
+                boxes.reshape(b * s, 4),
+                matched_gt.reshape(b * s, 4),
+                classes.reshape(b * s),
+                valid.reshape(b * s),
+                self.num_classes,
+                self.box2box,
+                smooth_l1_beta=self.smooth_l1_beta,
+                box_reg_loss_type=self.box_reg_loss_type,
+                focal_gamma=self.focal_gamma,
+                bg_loss_weight=self.bg_loss_weight,
+            )
+            return None, losses
+
+        region_feats = self._region_embed(features, proposals.boxes, res5_fn, attnpool_fn)
+        scores, deltas = self.box_predictor(region_feats)
+        k = proposals.boxes.shape[1]
+        scores = scores.reshape(b, k, -1)
+        deltas = deltas.reshape(b, k, -1)
+
+        def per_image(sc, dl, pb, pv, hw):
+            return fast_rcnn_inference_single_image(
+                sc,
+                dl,
+                pb,
+                pv,
+                hw,
+                self.box2box,
+                self.num_classes,
+                score_thresh=self.score_thresh_test,
+                nms_thresh=self.nms_thresh_test,
+                topk_per_image=self.detections_per_image,
+            )
+
+        detections = jax.vmap(per_image)(
+            scores, deltas, proposals.boxes, proposals.valid, image_sizes
+        )
+        return detections, {}
+
+    def _region_embed(self, features, boxes, res5_fn, attnpool_fn) -> jnp.ndarray:
+        """(B,H,W,C) x (B,S,4) -> (B*S, emb) region embeddings via
+        pool -> res5 -> attnpool (or mean-pool)."""
+        x = self.pool(features, boxes)
+        x = res5_fn(x)  # (B*S, P/2, P/2, 2048)
+        if attnpool_fn is not None:
+            return attnpool_fn(x)
+        return jnp.mean(x, axis=(1, 2))
+
+    def forward_get_features(
+        self, features_src, features_trgt, boxes, res5_fn, attnpool_fn
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Pool the SAME boxes from both domains' feature maps
+        (reference clip_roi_heads.py:117-132)."""
+        f_src = self._region_embed(features_src, boxes, res5_fn, attnpool_fn)
+        f_trgt = self._region_embed(features_trgt, boxes, res5_fn, attnpool_fn)
+        return f_src, f_trgt

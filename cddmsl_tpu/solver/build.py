@@ -1,0 +1,121 @@
+"""Optimizer + LR schedules.
+
+Mirrors the reference solver (detectron2/solver/build.py:113-219 SGD+momentum
+with per-param behavior, :18-110 gradient clipping; lr_scheduler.py
+WarmupMultiStepLR/WarmupCosineLR) on optax.
+
+Freezing: torch marks requires_grad=False (FrozenBN buffers, the offline
+backbone, the ClipCap mapper, text-embedding classifier rows, freeze_at
+stages — SURVEY.md §2.1/§2.2). In JAX, freezing = a path-based mask: frozen
+leaves get zeroed updates and no weight decay.
+"""
+
+import math
+from typing import Any, Callable, Dict, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+
+# ---------------- schedules ----------------
+def build_lr_schedule(cfg) -> Callable[[jnp.ndarray], jnp.ndarray]:
+    base_lr = cfg.SOLVER.BASE_LR
+    warmup_iters = cfg.SOLVER.WARMUP_ITERS
+    warmup_factor = cfg.SOLVER.WARMUP_FACTOR
+    warmup_method = cfg.SOLVER.WARMUP_METHOD
+    name = cfg.SOLVER.LR_SCHEDULER_NAME
+    steps = tuple(cfg.SOLVER.STEPS)
+    gamma = cfg.SOLVER.GAMMA
+    max_iter = cfg.SOLVER.MAX_ITER
+
+    def schedule(step):
+        step = jnp.asarray(step, jnp.float32)
+        # warmup multiplier (reference lr_scheduler.py _get_warmup_factor_at_iter)
+        if warmup_method == "linear":
+            alpha = step / max(warmup_iters, 1)
+            wf = jnp.where(step < warmup_iters, warmup_factor * (1 - alpha) + alpha, 1.0)
+        elif warmup_method == "constant":
+            wf = jnp.where(step < warmup_iters, warmup_factor, 1.0)
+        else:
+            raise ValueError(warmup_method)
+        if name == "WarmupMultiStepLR":
+            milestones = jnp.asarray(steps, jnp.float32) if steps else jnp.zeros((0,))
+            decay = gamma ** jnp.sum(step >= milestones) if steps else 1.0
+            return base_lr * wf * decay
+        elif name == "WarmupCosineLR":
+            return base_lr * wf * 0.5 * (1.0 + jnp.cos(jnp.pi * step / max_iter))
+        else:
+            raise ValueError(name)
+
+    return schedule
+
+
+# ---------------- freezing rules ----------------
+_ALWAYS_FROZEN_SUBTREES = ("offline_backbone", "v2l_mapper")
+_FROZEN_BN_PARAMS = ("running_mean", "running_var")
+
+
+def path_is_frozen(path: Tuple[str, ...], freeze_at: int = 2, use_text_emb: bool = True) -> bool:
+    parts = [str(p) for p in path]
+    if any(p in _ALWAYS_FROZEN_SUBTREES for p in parts):
+        return True
+    # FrozenBN: all four buffers are non-trainable in the reference
+    if any(p.startswith("bn") or p.endswith("_bn") for p in parts):
+        return True
+    if parts[-1] in _FROZEN_BN_PARAMS:
+        return True
+    # text-embedding classifier rows are frozen (fast_rcnn.py:448-455)
+    if use_text_emb and parts[-1] == "cls_score_weight":
+        return True
+    # freeze_at: 1 = stem, 2 = stem + layer1, ... (clip_backbone.py freeze())
+    if "backbone" in parts:
+        i = parts.index("backbone")
+        rest = parts[i + 1 :]
+        if rest:
+            head = rest[0]
+            if freeze_at >= 1 and head in ("conv1", "conv2", "conv3", "bn1", "bn2", "bn3"):
+                return True
+            for stage_idx in range(1, 5):
+                if freeze_at >= stage_idx + 1 and head.startswith(f"layer{stage_idx}_"):
+                    return True
+    return False
+
+
+def trainable_mask(params, freeze_at: int = 2, use_text_emb: bool = True):
+    """Pytree of bools: True = trainable."""
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+
+    def one(path):
+        keys = tuple(getattr(k, "key", getattr(k, "idx", str(k))) for k in path)
+        return not path_is_frozen(keys, freeze_at, use_text_emb)
+
+    leaves = {tuple(p): one(p) for p, _ in flat}
+    return jax.tree_util.tree_map_with_path(lambda p, _: leaves[tuple(p)], params)
+
+
+# ---------------- optimizer ----------------
+def build_optimizer(cfg, params) -> optax.GradientTransformation:
+    """SGD + momentum + coupled weight decay + (optional) grad clipping, with
+    frozen-path masking. Matches torch.optim.SGD update order."""
+    schedule = build_lr_schedule(cfg)
+    mask = trainable_mask(
+        params,
+        freeze_at=cfg.MODEL.BACKBONE.FREEZE_AT,
+        use_text_emb=cfg.MODEL.CLIP.USE_TEXT_EMB_CLASSIFIER,
+    )
+    frozen_mask = jax.tree_util.tree_map(lambda t: not t, mask)
+
+    chain = []
+    chain.append(optax.masked(optax.set_to_zero(), frozen_mask))
+    if cfg.SOLVER.CLIP_GRADIENTS.ENABLED:
+        if cfg.SOLVER.CLIP_GRADIENTS.CLIP_TYPE == "norm":
+            chain.append(optax.clip_by_global_norm(cfg.SOLVER.CLIP_GRADIENTS.CLIP_VALUE))
+        else:
+            chain.append(optax.clip(cfg.SOLVER.CLIP_GRADIENTS.CLIP_VALUE))
+    if cfg.SOLVER.WEIGHT_DECAY:
+        chain.append(optax.add_decayed_weights(cfg.SOLVER.WEIGHT_DECAY, mask=mask))
+    if cfg.SOLVER.MOMENTUM:
+        chain.append(optax.trace(decay=cfg.SOLVER.MOMENTUM, nesterov=cfg.SOLVER.NESTEROV))
+    chain.append(optax.scale_by_learning_rate(schedule))
+    return optax.chain(*chain)
