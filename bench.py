@@ -66,20 +66,23 @@ def main():
             )
             batch = _synthetic_batch(batch_size, h, w, g=24, seed=1)
 
+            # NOTE: under the axon tunnel, block_until_ready can return before
+            # remote execution finishes; jax.device_get is the authoritative
+            # synchronization, so every timing section ends with one.
             t0 = time.time()
             for i in range(warmup):
                 state, metrics = step_fn(state, batch, jax.random.PRNGKey(i))
-            jax.block_until_ready(metrics)
+            jax.device_get(metrics)
             log(f"batch={batch_size}: warmup+compile {time.time()-t0:.1f}s")
 
             t0 = time.time()
             for i in range(iters):
                 state, metrics = step_fn(state, batch, jax.random.PRNGKey(100 + i))
-            jax.block_until_ready(metrics)
+            host_metrics = jax.device_get(metrics)
             dt = time.time() - t0
             imgs_per_sec = batch_size * iters / dt
             log(f"batch={batch_size}: {dt/iters*1000:.1f} ms/step, {imgs_per_sec:.2f} imgs/s")
-            log("metrics:", {k: float(v) for k, v in jax.device_get(metrics).items()})
+            log("metrics:", {k: float(v) for k, v in host_metrics.items()})
 
             print(
                 json.dumps(

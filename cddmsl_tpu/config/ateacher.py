@@ -27,7 +27,10 @@ def add_ateacher_config(cfg: CfgNode) -> None:
     _C.TEST.EVALUATOR = "COCOeval"
 
     _C.SEMISUPNET = CfgNode()
-    _C.SEMISUPNET.Trainer = "ateacher"
+    # NOTE: the reference defaults this to "ateacher" (config.py:20) but its
+    # train_net.py never dispatches on it for the CDDMSL runs; here "default"
+    # selects DefaultTrainer and mean-teacher configs opt in explicitly.
+    _C.SEMISUPNET.Trainer = "default"
     _C.SEMISUPNET.BBOX_THRESHOLD = 0.8
     _C.SEMISUPNET.PSEUDO_BBOX_SAMPLE = "thresholding"
     _C.SEMISUPNET.TEACHER_UPDATE_ITER = 1

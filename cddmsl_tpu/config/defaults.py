@@ -257,6 +257,7 @@ def get_default_cfg() -> CfgNode:
     _C.TPU.REGION_CONSISTENCY_BOXES = 16  # randperm[:16] in reference rcnn.py:437
     _C.TPU.V2L_IMAGE_SIZE = 224
     _C.TPU.ENABLE_CAPTION_CONSISTENCY = True
+    _C.TPU.REMAT_BACKBONE = True  # jax.checkpoint on bottleneck blocks
 
     # ---------------- VIS / MISC ----------------
     _C.VIS_PERIOD = 0

@@ -1,0 +1,201 @@
+"""CLIP BPE tokenizer + prompt-engineering utilities.
+
+Provides the reference's concept/prompt tooling surface
+(detectron2/data/datasets/clip_prompt_utils.py:68-166 SimpleTokenizer,
+:170-332 prompt templates, :404 pre_tokenize): byte-level BPE over the
+public CLIP vocабulary (bpe_simple_vocab_16e6.txt.gz — a DATA file, located
+via $CLIP_BPE_PATH or ./datasets/), 77-token context with SOT/EOT, and the
+~80 ImageNet prompt templates used to build text-embedding classifiers.
+"""
+
+import gzip
+import html
+import os
+import re
+from functools import lru_cache
+from typing import List, Sequence, Union
+
+import numpy as np
+
+CONTEXT_LENGTH = 77
+
+
+@lru_cache()
+def default_bpe_path() -> str:
+    cands = [
+        os.environ.get("CLIP_BPE_PATH", ""),
+        os.path.join(os.environ.get("DETECTRON2_DATASETS", "datasets"), "bpe_simple_vocab_16e6.txt.gz"),
+        "/root/reference/detectron2/data/datasets/bpe_simple_vocab_16e6.txt.gz",
+    ]
+    for c in cands:
+        if c and os.path.exists(c):
+            return c
+    raise FileNotFoundError(
+        "CLIP BPE vocab not found; set $CLIP_BPE_PATH to bpe_simple_vocab_16e6.txt.gz"
+    )
+
+
+@lru_cache()
+def bytes_to_unicode():
+    """Reversible byte <-> printable-unicode mapping (standard byte-level BPE)."""
+    bs = list(range(ord("!"), ord("~") + 1)) + list(range(ord("¡"), ord("¬") + 1)) + list(range(ord("®"), ord("ÿ") + 1))
+    cs = bs[:]
+    n = 0
+    for b in range(256):
+        if b not in bs:
+            bs.append(b)
+            cs.append(256 + n)
+            n += 1
+    return dict(zip(bs, [chr(c) for c in cs]))
+
+
+def get_pairs(word):
+    return {(word[i], word[i + 1]) for i in range(len(word) - 1)}
+
+
+def _basic_clean(text: str) -> str:
+    text = html.unescape(html.unescape(text))
+    return text.strip()
+
+
+def _whitespace_clean(text: str) -> str:
+    return re.sub(r"\s+", " ", text).strip()
+
+
+class SimpleTokenizer:
+    def __init__(self, bpe_path: str = None):
+        bpe_path = bpe_path or default_bpe_path()
+        self.byte_encoder = bytes_to_unicode()
+        self.byte_decoder = {v: k for k, v in self.byte_encoder.items()}
+        merges = gzip.open(bpe_path).read().decode("utf-8").split("\n")
+        merges = merges[1 : 49152 - 256 - 2 + 1]
+        merges = [tuple(m.split()) for m in merges]
+        vocab = list(bytes_to_unicode().values())
+        vocab = vocab + [v + "</w>" for v in vocab]
+        for merge in merges:
+            vocab.append("".join(merge))
+        vocab.extend(["<|startoftext|>", "<|endoftext|>"])
+        self.encoder = dict(zip(vocab, range(len(vocab))))
+        self.decoder = {v: k for k, v in self.encoder.items()}
+        self.bpe_ranks = dict(zip(merges, range(len(merges))))
+        self.cache = {"<|startoftext|>": "<|startoftext|>", "<|endoftext|>": "<|endoftext|>"}
+        self.pat = re.compile(
+            r"""<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d|[\p{L}]+|[\p{N}]|[^\s\p{L}\p{N}]+"""
+            if False
+            else r"""<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d|[a-zA-Z]+|[0-9]|[^\sa-zA-Z0-9]+""",
+            re.IGNORECASE,
+        )
+
+    def bpe(self, token: str) -> str:
+        if token in self.cache:
+            return self.cache[token]
+        word = tuple(token[:-1]) + (token[-1] + "</w>",)
+        pairs = get_pairs(word)
+        if not pairs:
+            return token + "</w>"
+        while True:
+            bigram = min(pairs, key=lambda p: self.bpe_ranks.get(p, float("inf")))
+            if bigram not in self.bpe_ranks:
+                break
+            first, second = bigram
+            new_word = []
+            i = 0
+            while i < len(word):
+                try:
+                    j = word.index(first, i)
+                    new_word.extend(word[i:j])
+                    i = j
+                except ValueError:
+                    new_word.extend(word[i:])
+                    break
+                if word[i] == first and i < len(word) - 1 and word[i + 1] == second:
+                    new_word.append(first + second)
+                    i += 2
+                else:
+                    new_word.append(word[i])
+                    i += 1
+            word = tuple(new_word)
+            if len(word) == 1:
+                break
+            pairs = get_pairs(word)
+        out = " ".join(word)
+        self.cache[token] = out
+        return out
+
+    def encode(self, text: str) -> List[int]:
+        tokens = []
+        text = _whitespace_clean(_basic_clean(text)).lower()
+        for token in re.findall(self.pat, text):
+            token = "".join(self.byte_encoder[b] for b in token.encode("utf-8"))
+            tokens.extend(self.encoder[t] for t in self.bpe(token).split(" "))
+        return tokens
+
+    def decode(self, tokens: Sequence[int]) -> str:
+        text = "".join(self.decoder[t] for t in tokens)
+        return (
+            bytearray(self.byte_decoder[c] for c in text)
+            .decode("utf-8", errors="replace")
+            .replace("</w>", " ")
+        )
+
+
+def tokenize(
+    texts: Union[str, Sequence[str]],
+    tokenizer: SimpleTokenizer = None,
+    context_length: int = CONTEXT_LENGTH,
+) -> np.ndarray:
+    """texts -> (N, 77) int32 with SOT/EOT, truncated like the reference."""
+    if isinstance(texts, str):
+        texts = [texts]
+    tokenizer = tokenizer or SimpleTokenizer()
+    sot = tokenizer.encoder["<|startoftext|>"]
+    eot = tokenizer.encoder["<|endoftext|>"]
+    out = np.zeros((len(texts), context_length), np.int32)
+    for i, t in enumerate(texts):
+        toks = [sot] + tokenizer.encode(t)[: context_length - 2] + [eot]
+        out[i, : len(toks)] = toks
+    return out
+
+
+# ~80 prompt templates (reference clip_prompt_utils.py:170-332, the standard
+# CLIP ImageNet prompt-engineering set)
+PROMPT_TEMPLATES = [
+    "a bad photo of a {}.", "a photo of many {}.", "a sculpture of a {}.",
+    "a photo of the hard to see {}.", "a low resolution photo of the {}.",
+    "a rendering of a {}.", "graffiti of a {}.", "a bad photo of the {}.",
+    "a cropped photo of the {}.", "a tattoo of a {}.", "the embroidered {}.",
+    "a photo of a hard to see {}.", "a bright photo of a {}.", "a photo of a clean {}.",
+    "a photo of a dirty {}.", "a dark photo of the {}.", "a drawing of a {}.",
+    "a photo of my {}.", "the plastic {}.", "a photo of the cool {}.",
+    "a close-up photo of a {}.", "a black and white photo of the {}.",
+    "a painting of the {}.", "a painting of a {}.", "a pixelated photo of the {}.",
+    "a sculpture of the {}.", "a bright photo of the {}.", "a cropped photo of a {}.",
+    "a plastic {}.", "a photo of the dirty {}.", "a jpeg corrupted photo of a {}.",
+    "a blurry photo of the {}.", "a photo of the {}.", "a good photo of the {}.",
+    "a rendering of the {}.", "a {} in a video game.", "a photo of one {}.",
+    "a doodle of a {}.", "a close-up photo of the {}.", "a photo of a {}.",
+    "the origami {}.", "the {} in a video game.", "a sketch of a {}.",
+    "a doodle of the {}.", "a origami {}.", "a low resolution photo of a {}.",
+    "the toy {}.", "a rendition of the {}.", "a photo of the clean {}.",
+    "a photo of a large {}.", "a rendition of a {}.", "a photo of a nice {}.",
+    "a photo of a weird {}.", "a blurry photo of a {}.", "a cartoon {}.",
+    "art of a {}.", "a sketch of the {}.", "a embroidered {}.",
+    "a pixelated photo of a {}.", "itap of the {}.", "a jpeg corrupted photo of the {}.",
+    "a good photo of a {}.", "a plushie {}.", "a photo of the nice {}.",
+    "a photo of the small {}.", "a photo of the weird {}.", "the cartoon {}.",
+    "art of the {}.", "a drawing of the {}.", "a photo of the large {}.",
+    "a black and white photo of a {}.", "the plushie {}.", "a dark photo of a {}.",
+    "itap of a {}.", "graffiti of the {}.", "a toy {}.", "itap of my {}.",
+    "a photo of a cool {}.", "a photo of a small {}.", "a tattoo of the {}.",
+]
+
+
+def pre_tokenize(class_names: Sequence[str], tokenizer: SimpleTokenizer = None) -> np.ndarray:
+    """class names x templates -> (num_classes, num_templates, 77) int32
+    (reference clip_prompt_utils.py:404 pre_tokenize)."""
+    tokenizer = tokenizer or SimpleTokenizer()
+    out = []
+    for name in class_names:
+        prompts = [t.format(name.replace("_", " ").replace("+", " ")) for t in PROMPT_TEMPLATES]
+        out.append(tokenize(prompts, tokenizer))
+    return np.stack(out)

@@ -1,0 +1,104 @@
+"""Dataset mappers: dataset dict -> per-image numpy sample.
+
+Mirrors the reference mappers (detectron2/data/dataset_mapper.py):
+  * `DatasetMapper` (:22-217): reads `file_name` AND the translated twin
+    `data_dt_file_name`, applies the SAME sampled geometric transforms to
+    both views (:159-161), transforms the boxes, and emits "image" +
+    "image_trgt" + targets
+  * `DatasetMapperTwoCropSeparate` (:403-569): returns (strong, weak) crops
+    of the same image for the mean-teacher loop, sharing the geometric
+    transform, with the SimCLR strong augmentation on the strong view
+"""
+
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+from PIL import Image
+
+from .transforms import (
+    apply_augmentations,
+    build_augmentation,
+    build_strong_augmentation_fn,
+)
+
+
+def read_image(path: str, fmt: str = "RGB") -> np.ndarray:
+    img = Image.open(path).convert("RGB")
+    arr = np.asarray(img)
+    if fmt == "BGR":
+        arr = arr[:, :, ::-1]
+    return arr
+
+
+def _transform_annotations(annos: List[dict], tfms, image_hw) -> Dict[str, np.ndarray]:
+    boxes = np.array([a["bbox"] for a in annos], np.float32).reshape(-1, 4)
+    classes = np.array([a["category_id"] for a in annos], np.int32).reshape(-1)
+    if len(boxes):
+        boxes = tfms.apply_box(boxes)
+        h, w = image_hw
+        boxes[:, 0::2] = boxes[:, 0::2].clip(0, w)
+        boxes[:, 1::2] = boxes[:, 1::2].clip(0, h)
+        keep = (boxes[:, 2] > boxes[:, 0]) & (boxes[:, 3] > boxes[:, 1])
+        boxes, classes = boxes[keep], classes[keep]
+    return {"boxes": boxes, "classes": classes}
+
+
+class DatasetMapper:
+    """cfg -> callable(dataset_dict, rng) -> sample dict of numpy arrays:
+    image, [image_trgt], boxes (N,4), classes (N,), hw, orig_hw, image_id."""
+
+    def __init__(self, cfg, is_train: bool = True):
+        self.is_train = is_train
+        self.augmentations = build_augmentation(cfg, is_train)
+        self.image_format = cfg.INPUT.FORMAT
+        self.use_instance_mask = cfg.MODEL.MASK_ON
+
+    def __call__(self, dataset_dict: dict, rng: np.random.RandomState) -> dict:
+        d = dict(dataset_dict)
+        image = read_image(d["file_name"], self.image_format)
+        orig_hw = image.shape[:2]
+
+        image, tfms = apply_augmentations(self.augmentations, image, rng)
+        hw = image.shape[:2]
+
+        out = {
+            "image": image,
+            "hw": np.asarray(hw, np.int32),
+            "orig_hw": np.asarray(orig_hw, np.int32),
+            "image_id": d.get("image_id"),
+        }
+
+        # paired translated view: same transforms (reference :159-161)
+        if "data_dt_file_name" in d:
+            image_t = read_image(d["data_dt_file_name"], self.image_format)
+            if image_t.shape[:2] != orig_hw:  # twins are pixel-aligned; guard anyway
+                image_t = np.asarray(
+                    Image.fromarray(image_t).resize((orig_hw[1], orig_hw[0]))
+                )
+            out["image_trgt"] = tfms.apply_image(image_t)
+
+        if "annotations" in d:
+            # difficult instances are excluded from training (d2 VOC convention)
+            annos = [a for a in d["annotations"] if not (self.is_train and a.get("difficult", 0))]
+            t = _transform_annotations(annos, tfms, hw)
+            out.update(t)
+        else:
+            out.update({"boxes": np.zeros((0, 4), np.float32), "classes": np.zeros((0,), np.int32)})
+        return out
+
+
+class DatasetMapperTwoCropSeparate:
+    """Mean-teacher two-crop mapper (reference dataset_mapper.py:403-569):
+    one geometric transform, two photometric views (strong, weak)."""
+
+    def __init__(self, cfg, is_train: bool = True):
+        self.base = DatasetMapper(cfg, is_train)
+        self.strong_aug = build_strong_augmentation_fn()
+
+    def __call__(self, dataset_dict: dict, rng: np.random.RandomState):
+        weak = self.base(dataset_dict, rng)
+        strong = dict(weak)
+        strong["image"] = self.strong_aug(weak["image"], rng)
+        if "image_trgt" in weak:
+            strong["image_trgt"] = self.strong_aug(weak["image_trgt"], rng)
+        return strong, weak

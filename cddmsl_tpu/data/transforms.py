@@ -1,0 +1,253 @@
+"""Host-side (numpy/PIL) geometric + photometric transforms.
+
+Mirrors the reference transform stack (detectron2/data/transforms/):
+deterministic `Transform` objects (replayable on the paired translated view
+and on boxes — the core requirement of the paired-domain mapper,
+dataset_mapper.py:159-161) sampled by `Augmentation` objects, plus the
+SimCLR-style strong augmentation of detection_utils.py:617-653.
+"""
+
+from typing import List, Optional, Sequence, Tuple, Union
+
+import numpy as np
+from PIL import Image, ImageFilter
+
+
+# ---------------- deterministic transforms ----------------
+class Transform:
+    def apply_image(self, img: np.ndarray) -> np.ndarray:
+        raise NotImplementedError
+
+    def apply_box(self, boxes: np.ndarray) -> np.ndarray:
+        """boxes: (N, 4) XYXY float."""
+        raise NotImplementedError
+
+
+class NoOpTransform(Transform):
+    def apply_image(self, img):
+        return img
+
+    def apply_box(self, boxes):
+        return boxes
+
+
+class ResizeTransform(Transform):
+    def __init__(self, h: int, w: int, new_h: int, new_w: int, interp=Image.BILINEAR):
+        self.h, self.w, self.new_h, self.new_w, self.interp = h, w, new_h, new_w, interp
+
+    def apply_image(self, img: np.ndarray) -> np.ndarray:
+        assert img.shape[:2] == (self.h, self.w), (img.shape, self.h, self.w)
+        pil = Image.fromarray(img.astype(np.uint8))
+        resized = pil.resize((self.new_w, self.new_h), self.interp)
+        return np.asarray(resized)
+
+    def apply_box(self, boxes: np.ndarray) -> np.ndarray:
+        boxes = boxes.astype(np.float32).copy()
+        boxes[:, 0::2] *= self.new_w / self.w
+        boxes[:, 1::2] *= self.new_h / self.h
+        return boxes
+
+
+class HFlipTransform(Transform):
+    def __init__(self, width: int):
+        self.width = width
+
+    def apply_image(self, img: np.ndarray) -> np.ndarray:
+        return np.ascontiguousarray(img[:, ::-1])
+
+    def apply_box(self, boxes: np.ndarray) -> np.ndarray:
+        boxes = boxes.astype(np.float32).copy()
+        x1 = self.width - boxes[:, 2]
+        x2 = self.width - boxes[:, 0]
+        boxes[:, 0], boxes[:, 2] = x1, x2
+        return boxes
+
+
+class CropTransform(Transform):
+    def __init__(self, x0: int, y0: int, w: int, h: int):
+        self.x0, self.y0, self.w, self.h = x0, y0, w, h
+
+    def apply_image(self, img: np.ndarray) -> np.ndarray:
+        return img[self.y0 : self.y0 + self.h, self.x0 : self.x0 + self.w]
+
+    def apply_box(self, boxes: np.ndarray) -> np.ndarray:
+        boxes = boxes.astype(np.float32).copy()
+        boxes[:, 0::2] -= self.x0
+        boxes[:, 1::2] -= self.y0
+        return boxes
+
+
+class TransformList(Transform):
+    def __init__(self, tfms: Sequence[Transform]):
+        self.transforms = list(tfms)
+
+    def apply_image(self, img):
+        for t in self.transforms:
+            img = t.apply_image(img)
+        return img
+
+    def apply_box(self, boxes):
+        for t in self.transforms:
+            boxes = t.apply_box(boxes)
+        return boxes
+
+
+# ---------------- augmentations (random samplers of transforms) ----------------
+class Augmentation:
+    def get_transform(self, img: np.ndarray, rng: np.random.RandomState) -> Transform:
+        raise NotImplementedError
+
+
+class ResizeShortestEdge(Augmentation):
+    """Scale the shorter side to one of `short_edge_length`, cap the longer
+    side at `max_size` (reference augmentation_impl.py ResizeShortestEdge)."""
+
+    def __init__(
+        self,
+        short_edge_length: Union[int, Sequence[int]],
+        max_size: int = 1333,
+        sample_style: str = "choice",
+    ):
+        if isinstance(short_edge_length, int):
+            short_edge_length = (short_edge_length, short_edge_length)
+        self.short_edge_length = tuple(short_edge_length)
+        self.max_size = max_size
+        self.sample_style = sample_style
+
+    def get_transform(self, img, rng) -> Transform:
+        h, w = img.shape[:2]
+        if self.sample_style == "range":
+            size = rng.randint(min(self.short_edge_length), max(self.short_edge_length) + 1)
+        else:
+            size = self.short_edge_length[rng.randint(len(self.short_edge_length))]
+        if size == 0:
+            return NoOpTransform()
+        scale = size / min(h, w)
+        if h < w:
+            new_h, new_w = size, int(round(w * scale))
+        else:
+            new_h, new_w = int(round(h * scale)), size
+        if max(new_h, new_w) > self.max_size:
+            scale2 = self.max_size / max(new_h, new_w)
+            new_h, new_w = int(round(new_h * scale2)), int(round(new_w * scale2))
+        return ResizeTransform(h, w, new_h, new_w)
+
+
+class RandomFlip(Augmentation):
+    def __init__(self, prob: float = 0.5):
+        self.prob = prob
+
+    def get_transform(self, img, rng) -> Transform:
+        if rng.rand() < self.prob:
+            return HFlipTransform(img.shape[1])
+        return NoOpTransform()
+
+
+def build_augmentation(cfg, is_train: bool) -> List[Augmentation]:
+    """reference detection_utils.py:590-614."""
+    if is_train:
+        augs: List[Augmentation] = [
+            ResizeShortestEdge(
+                tuple(cfg.INPUT.MIN_SIZE_TRAIN),
+                cfg.INPUT.MAX_SIZE_TRAIN,
+                cfg.INPUT.MIN_SIZE_TRAIN_SAMPLING,
+            )
+        ]
+        if cfg.INPUT.RANDOM_FLIP != "none":
+            augs.append(RandomFlip(0.5))
+        return augs
+    return [ResizeShortestEdge(cfg.INPUT.MIN_SIZE_TEST, cfg.INPUT.MAX_SIZE_TEST)]
+
+
+def apply_augmentations(
+    augs: Sequence[Augmentation], img: np.ndarray, rng: np.random.RandomState
+) -> Tuple[np.ndarray, TransformList]:
+    tfms = []
+    for aug in augs:
+        t = aug.get_transform(img, rng)
+        img = t.apply_image(img)
+        tfms.append(t)
+    return img, TransformList(tfms)
+
+
+# ---------------- strong (photometric) augmentation ----------------
+def _color_jitter(img: np.ndarray, rng, brightness=0.4, contrast=0.4, saturation=0.4, hue=0.1):
+    x = img.astype(np.float32)
+    order = rng.permutation(4)
+    for op in order:
+        if op == 0:  # brightness
+            x = x * rng.uniform(1 - brightness, 1 + brightness)
+        elif op == 1:  # contrast
+            mean = x.mean()
+            x = (x - mean) * rng.uniform(1 - contrast, 1 + contrast) + mean
+        elif op == 2:  # saturation
+            gray = x @ np.array([0.299, 0.587, 0.114], np.float32)
+            f = rng.uniform(1 - saturation, 1 + saturation)
+            x = x * f + gray[..., None] * (1 - f)
+        else:  # hue (cheap approximation: channel rotation mix)
+            f = rng.uniform(-hue, hue)
+            if abs(f) > 1e-3:
+                x = x + np.roll(x, 1, axis=-1) * f - x * f
+    return np.clip(x, 0, 255)
+
+
+def build_strong_augmentation_fn():
+    """SimCLR-flavored pipeline of the reference
+    (detection_utils.py:617-653): ColorJitter(.4,.4,.4,.1)@p.8,
+    RandomGrayscale@.2, GaussianBlur(sigma .1-2)@.5, then 3x RandomErasing
+    (p .7/.5/.3). Returns fn(img_uint8, rng) -> img_uint8."""
+
+    def strong_aug(img: np.ndarray, rng: np.random.RandomState) -> np.ndarray:
+        x = img.astype(np.float32)
+        if rng.rand() < 0.8:
+            x = _color_jitter(x, rng)
+        if rng.rand() < 0.2:
+            gray = x @ np.array([0.299, 0.587, 0.114], np.float32)
+            x = np.repeat(gray[..., None], 3, axis=-1)
+        if rng.rand() < 0.5:
+            sigma = rng.uniform(0.1, 2.0)
+            pil = Image.fromarray(np.clip(x, 0, 255).astype(np.uint8))
+            x = np.asarray(pil.filter(ImageFilter.GaussianBlur(radius=sigma))).astype(np.float32)
+        # RandomErasing x3 (torchvision semantics: scale (.02,.33)/(.05,.2)/(.02,.2))
+        for p, scale_rng, value_random in ((0.7, (0.05, 0.2), True), (0.5, (0.02, 0.2), True), (0.3, (0.02, 0.2), True)):
+            if rng.rand() < p:
+                h, w = x.shape[:2]
+                for _ in range(10):
+                    area = rng.uniform(*scale_rng) * h * w
+                    ratio = np.exp(rng.uniform(np.log(0.3), np.log(3.3)))
+                    eh, ew = int(round(np.sqrt(area * ratio))), int(round(np.sqrt(area / ratio)))
+                    if eh < h and ew < w:
+                        y0, x0 = rng.randint(0, h - eh), rng.randint(0, w - ew)
+                        x[y0 : y0 + eh, x0 : x0 + ew] = rng.rand(eh, ew, 3) * 255 if value_random else 0
+                        break
+        return np.clip(x, 0, 255).astype(np.uint8)
+
+    return strong_aug
+
+
+def exp_rampup(current: float, rampup_length: float) -> float:
+    """Exponential rampup (reference detection_utils.py:693, imported by
+    train_net.py:46 for the mean-teacher loss weight)."""
+    if rampup_length == 0:
+        return 1.0
+    current = np.clip(current, 0.0, rampup_length)
+    phase = 1.0 - current / rampup_length
+    return float(np.exp(-5.0 * phase * phase))
+
+
+def sigmoid_rampup(current: float, rampup_length: float) -> float:
+    if rampup_length == 0:
+        return 1.0
+    current = np.clip(current, 0.0, rampup_length)
+    phase = 1.0 - current / rampup_length
+    return float(np.exp(-5.0 * phase * phase))
+
+
+def linear_rampup(current: float, rampup_length: float) -> float:
+    if rampup_length == 0:
+        return 1.0
+    return float(np.clip(current / rampup_length, 0.0, 1.0))
+
+
+def cosine_rampdown(current: float, rampdown_length: float) -> float:
+    return float(0.5 * (np.cos(np.pi * current / rampdown_length) + 1))

@@ -1,0 +1,188 @@
+"""COCO-style bbox mAP evaluation in pure numpy.
+
+Equivalent of the reference COCOEvaluator + its C++-accelerated
+fast_eval_api (detectron2/evaluation/coco_evaluation.py,
+fast_eval_api.py:121 `_C.COCOevalEvalImages/Accumulate`, csrc/cocoeval/):
+101-point interpolated AP averaged over IoU .50:.95, AP50/AP75, and the
+small/medium/large area splits, with iscrowd-as-ignore semantics. No
+pycocotools dependency.
+"""
+
+from collections import defaultdict
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+from ..data.catalog import MetadataCatalog
+
+IOU_THRESHOLDS = np.linspace(0.5, 0.95, 10)  # pycocotools Params.setDetParams
+RECALL_POINTS = np.linspace(0.0, 1.0, 101)
+AREA_RANGES = {
+    "all": (0.0, 1e10),
+    "small": (0.0, 32 ** 2),
+    "medium": (32 ** 2, 96 ** 2),
+    "large": (96 ** 2, 1e10),
+}
+
+
+def _iou_matrix(dets: np.ndarray, gts: np.ndarray, iscrowd: np.ndarray) -> np.ndarray:
+    """(D,4),(G,4) XYXY -> (D,G); crowd GT uses intersection-over-det-area."""
+    if len(dets) == 0 or len(gts) == 0:
+        return np.zeros((len(dets), len(gts)))
+    lt = np.maximum(dets[:, None, :2], gts[None, :, :2])
+    rb = np.minimum(dets[:, None, 2:], gts[None, :, 2:])
+    wh = np.clip(rb - lt, 0, None)
+    inter = wh[..., 0] * wh[..., 1]
+    area_d = (dets[:, 2] - dets[:, 0]) * (dets[:, 3] - dets[:, 1])
+    area_g = (gts[:, 2] - gts[:, 0]) * (gts[:, 3] - gts[:, 1])
+    union = area_d[:, None] + area_g[None, :] - inter
+    union = np.where(iscrowd[None, :], area_d[:, None], union)
+    return np.where(union > 0, inter / np.maximum(union, 1e-10), 0.0)
+
+
+def _eval_image(dets, det_scores, gts, gt_ignore, iscrowd, thresholds):
+    """Greedy matching per COCOeval.evaluateImg. Returns per-threshold
+    (det_matched_ignore, det_tp) arrays sorted by score desc, plus npos."""
+    order = np.argsort(-det_scores, kind="stable")
+    dets = dets[order]
+    # gts ordered real-first (cocoeval sorts by ignore flag)
+    g_order = np.argsort(gt_ignore.astype(np.int8), kind="stable")
+    gts, gt_ignore, iscrowd = gts[g_order], gt_ignore[g_order], iscrowd[g_order]
+    ious = _iou_matrix(dets, gts, iscrowd)
+    T = len(thresholds)
+    D, G = len(dets), len(gts)
+    tp = np.zeros((T, D), bool)
+    ignore_det = np.zeros((T, D), bool)
+    for t_i, t in enumerate(thresholds):
+        matched = np.zeros(G, bool)
+        for d in range(D):
+            best, best_iou = -1, min(t, 1 - 1e-10)
+            for g in range(G):
+                if matched[g] and not iscrowd[g]:
+                    continue
+                # COCO rule: once matched to a real gt, never switch to an
+                # ignored one (gts are ordered real-first by the caller)
+                if best > -1 and not gt_ignore[best] and gt_ignore[g]:
+                    break
+                if ious[d, g] < best_iou:
+                    continue
+                best_iou = ious[d, g]
+                best = g
+            if best == -1:
+                continue
+            matched[best] = True
+            if gt_ignore[best]:
+                ignore_det[t_i, d] = True
+            else:
+                tp[t_i, d] = True
+    return det_scores[order], tp, ignore_det
+
+
+class COCOEvaluator:
+    """Accumulates detections + GT; evaluate() returns the COCO metric dict
+    under key 'bbox' (matching the reference output schema)."""
+
+    def __init__(self, dataset_name: str):
+        meta = MetadataCatalog.get(dataset_name)
+        classes = meta.get("thing_classes")
+        self.num_classes = len(classes) if classes else 80
+        self.class_names = classes
+        self.reset()
+
+    def reset(self):
+        self._dets = defaultdict(lambda: defaultdict(list))  # cls -> img -> [(score, box)]
+        self._gts = defaultdict(lambda: defaultdict(list))  # cls -> img -> [(box, iscrowd)]
+        self._images = set()
+
+    def process(self, image_id, boxes, scores, classes):
+        self._images.add(image_id)
+        for b, s, c in zip(boxes, scores, classes):
+            self._dets[int(c)][image_id].append((float(s), np.asarray(b, np.float64)))
+
+    def process_gt(self, image_id, boxes, classes, iscrowd=None):
+        self._images.add(image_id)
+        if iscrowd is None:
+            iscrowd = np.zeros(len(boxes), bool)
+        for b, c, cr in zip(boxes, classes, iscrowd):
+            self._gts[int(c)][image_id].append((np.asarray(b, np.float64), bool(cr)))
+
+    def evaluate(self) -> Dict[str, Dict[str, float]]:
+        ap_per_class = {area: [] for area in AREA_RANGES}
+        ap50, ap75 = [], []
+        for c in range(self.num_classes):
+            has_gt = any(len(v) for v in self._gts.get(c, {}).values())
+            if not has_gt:
+                continue
+            for area, (lo, hi) in AREA_RANGES.items():
+                precisions = self._class_pr(c, lo, hi)  # (T, 101)
+                if precisions is None:
+                    ap = np.nan
+                else:
+                    ap = float(np.mean(precisions))
+                ap_per_class[area].append(ap)
+                if area == "all" and precisions is not None:
+                    ap50.append(float(np.mean(precisions[0])))
+                    ap75.append(float(np.mean(precisions[5])))
+        res = {
+            "AP": 100 * float(np.nanmean(ap_per_class["all"])) if ap_per_class["all"] else float("nan"),
+            "AP50": 100 * float(np.mean(ap50)) if ap50 else float("nan"),
+            "AP75": 100 * float(np.mean(ap75)) if ap75 else float("nan"),
+            "APs": 100 * float(np.nanmean(ap_per_class["small"])) if ap_per_class["small"] else float("nan"),
+            "APm": 100 * float(np.nanmean(ap_per_class["medium"])) if ap_per_class["medium"] else float("nan"),
+            "APl": 100 * float(np.nanmean(ap_per_class["large"])) if ap_per_class["large"] else float("nan"),
+        }
+        return {"bbox": res}
+
+    def _class_pr(self, c: int, area_lo: float, area_hi: float):
+        T = len(IOU_THRESHOLDS)
+        all_scores, all_tp, all_ign = [], [], []
+        npos = 0
+        det_imgs = self._dets.get(c, {})
+        gt_imgs = self._gts.get(c, {})
+        for img in self._images:
+            gt_list = gt_imgs.get(img, [])
+            gts = np.array([b for b, _ in gt_list]).reshape(-1, 4)
+            iscrowd = np.array([cr for _, cr in gt_list], bool)
+            areas = (gts[:, 2] - gts[:, 0]) * (gts[:, 3] - gts[:, 1]) if len(gts) else np.zeros(0)
+            gt_ignore = iscrowd | (areas < area_lo) | (areas > area_hi)
+            npos += int((~gt_ignore).sum())
+            det_list = det_imgs.get(img, [])
+            if not det_list:
+                continue
+            det_boxes = np.array([b for _, b in det_list]).reshape(-1, 4)
+            det_scores = np.array([s for s, _ in det_list])
+            scores, tp, ign = _eval_image(
+                det_boxes, det_scores, gts, gt_ignore, iscrowd, IOU_THRESHOLDS
+            )
+            # dets outside the area range that are unmatched -> ignored
+            d_areas = (det_boxes[:, 2] - det_boxes[:, 0]) * (det_boxes[:, 3] - det_boxes[:, 1])
+            order = np.argsort(-det_scores, kind="stable")
+            out_of_range = ((d_areas < area_lo) | (d_areas > area_hi))[order]
+            ign = ign | (out_of_range[None, :] & ~tp)
+            all_scores.append(scores)
+            all_tp.append(tp)
+            all_ign.append(ign)
+        if npos == 0:
+            return None
+        if not all_scores:
+            return np.zeros((T, len(RECALL_POINTS)))
+        scores = np.concatenate(all_scores)
+        tp = np.concatenate(all_tp, axis=1)
+        ign = np.concatenate(all_ign, axis=1)
+        order = np.argsort(-scores, kind="mergesort")
+        tp = tp[:, order]
+        ign = ign[:, order]
+
+        out = np.zeros((T, len(RECALL_POINTS)))
+        for t in range(T):
+            keep = ~ign[t]
+            tps = np.cumsum(tp[t][keep])
+            fps = np.cumsum(~tp[t][keep])
+            rec = tps / npos
+            prec = tps / np.maximum(tps + fps, 1e-10)
+            # monotone precision envelope + 101-point interpolation
+            for i in range(len(prec) - 1, 0, -1):
+                prec[i - 1] = max(prec[i - 1], prec[i])
+            idx = np.searchsorted(rec, RECALL_POINTS, side="left")
+            out[t] = np.where(idx < len(prec), prec[np.minimum(idx, max(len(prec) - 1, 0))], 0.0) if len(prec) else 0.0
+        return out

@@ -1,0 +1,93 @@
+"""Dataset inference loop with data/compute/eval time accounting
+(reference detectron2/evaluation/evaluator.py:103-210 inference_on_dataset)."""
+
+import datetime
+import logging
+import time
+from typing import Callable, Optional, Sequence
+
+import numpy as np
+
+from ..data.catalog import MetadataCatalog
+
+logger = logging.getLogger(__name__)
+
+
+def inference_on_dataset(
+    eval_step: Callable,  # (params, DetBatch) -> DetectionResult (jitted)
+    params,
+    data_loader,
+    num_images: int,
+    evaluator,
+    warmup: int = 1,
+) -> dict:
+    """Runs the model over the loader, feeds the evaluator, returns metrics.
+
+    The loader yields (DetBatch, metas) where len(metas) <= batch gives the
+    number of real (non-repeated-padding) images in the batch."""
+    evaluator.reset() if hasattr(evaluator, "reset") else None
+    total_compute, total_eval, total_data = 0.0, 0.0, 0.0
+    start = time.time()
+    seen = 0
+    t_data = time.time()
+    for batch, metas in data_loader:
+        total_data += time.time() - t_data
+        t0 = time.time()
+        det = eval_step(params, batch)
+        boxes = np.asarray(det.boxes)
+        scores = np.asarray(det.scores)
+        classes = np.asarray(det.classes)
+        valid = np.asarray(det.valid)
+        total_compute += time.time() - t0
+
+        t1 = time.time()
+        for i, meta in enumerate(metas):
+            keep = valid[i]
+            evaluator.process(meta["image_id"], boxes[i][keep], scores[i][keep], classes[i][keep])
+            if "annotations" in meta:
+                gb = np.array([a["bbox"] for a in meta["annotations"]], np.float32).reshape(-1, 4)
+                gc = np.array([a["category_id"] for a in meta["annotations"]], np.int32).reshape(-1)
+                gd = np.array([a.get("difficult", 0) for a in meta["annotations"]], bool).reshape(-1)
+                evaluator.process_gt(meta["image_id"], gb, gc, gd)
+        seen += len(metas)
+        total_eval += time.time() - t1
+        t_data = time.time()
+
+    total = time.time() - start
+    logger.info(
+        "Inference done on %d images: total %.1fs (%.4fs/img compute, %.4fs/img data, %.4fs/img eval)",
+        seen,
+        total,
+        total_compute / max(seen, 1),
+        total_data / max(seen, 1),
+        total_eval / max(seen, 1),
+    )
+    results = evaluator.evaluate()
+    return results if results is not None else {}
+
+
+def print_csv_format(results: dict) -> str:
+    """reference evaluation/testing.py print_csv_format."""
+    lines = []
+    for task, metrics in results.items():
+        lines.append(f"[{task}]")
+        lines.append(",".join(metrics.keys()))
+        lines.append(",".join(f"{v:.4f}" for v in metrics.values()))
+    out = "\n".join(lines)
+    logger.info("Evaluation results:\n%s", out)
+    return out
+
+
+def verify_results(cfg, results: dict) -> bool:
+    """Check TEST.EXPECTED_RESULTS = [[task, metric, mean, tolerance], ...]
+    (reference evaluation/testing.py verify_results)."""
+    expected = cfg.TEST.EXPECTED_RESULTS
+    if not expected:
+        return True
+    ok = True
+    for task, metric, mean, tol in expected:
+        actual = results[task][metric]
+        if abs(actual - mean) > tol:
+            logger.error("%s/%s = %.4f, expected %.4f +/- %.4f", task, metric, actual, mean, tol)
+            ok = False
+    return ok

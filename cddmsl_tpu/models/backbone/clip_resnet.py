@@ -168,11 +168,13 @@ class ModifiedResNet(nn.Module):
     width: int = 64
     out_features: Sequence[str] = ("res4",)
     input_resolution: int = 224
+    remat: bool = False  # rematerialize blocks: trade FLOPs for HBM
     dtype: Any = jnp.float32
 
     def setup(self):
         w = self.width
         d = self.dtype
+        Block = nn.remat(Bottleneck) if self.remat else Bottleneck
         self.conv1 = _conv(w // 2, 3, stride=2, padding=1, dtype=d)
         self.bn1 = FrozenBatchNorm(w // 2, dtype=d)
         self.conv2 = _conv(w // 2, 3, padding=1, dtype=d)
@@ -180,10 +182,10 @@ class ModifiedResNet(nn.Module):
         self.conv3 = _conv(w, 3, padding=1, dtype=d)
         self.bn3 = FrozenBatchNorm(w, dtype=d)
 
-        self.layer1 = [Bottleneck(w, 1 if i else 1, dtype=d) for i in range(self.layers[0])]
-        self.layer2 = [Bottleneck(w * 2, 2 if i == 0 else 1, dtype=d) for i in range(self.layers[1])]
-        self.layer3 = [Bottleneck(w * 4, 2 if i == 0 else 1, dtype=d) for i in range(self.layers[2])]
-        self.layer4 = [Bottleneck(w * 8, 2 if i == 0 else 1, dtype=d) for i in range(self.layers[3])]
+        self.layer1 = [Block(w, 1 if i else 1, dtype=d) for i in range(self.layers[0])]
+        self.layer2 = [Block(w * 2, 2 if i == 0 else 1, dtype=d) for i in range(self.layers[1])]
+        self.layer3 = [Block(w * 4, 2 if i == 0 else 1, dtype=d) for i in range(self.layers[2])]
+        self.layer4 = [Block(w * 8, 2 if i == 0 else 1, dtype=d) for i in range(self.layers[3])]
 
         embed_dim = w * 32
         self.attnpool = AttentionPool2d(

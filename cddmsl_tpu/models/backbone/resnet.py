@@ -1,0 +1,162 @@
+"""Standard (Detectron2-style) ResNet backbone in Flax, NHWC.
+
+Equivalent of the reference d2 ResNet (detectron2/modeling/backbone/
+resnet.py:695): 7x7/2 stem + 3x3/2 max-pool, BottleneckBlocks with
+stride-in-1x1 (torchvision-style when False), FrozenBN, out features
+stem/res2..res5. Used for the offline LSJ RPN option of the RegionCLIP
+arches (MODEL.CLIP.OFFLINE_RPN_CONFIG) and as a plain detector backbone.
+"""
+
+from typing import Any, Dict, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from .clip_resnet import FrozenBatchNorm, _avg_pool, _conv
+
+D2_RESNET_SPECS = {
+    18: [2, 2, 2, 2],
+    34: [3, 4, 6, 3],
+    50: [3, 4, 6, 3],
+    101: [3, 4, 23, 3],
+    152: [3, 8, 36, 3],
+}
+
+
+class D2Bottleneck(nn.Module):
+    """reference resnet.py BottleneckBlock."""
+
+    bottleneck_channels: int
+    out_channels: int
+    stride: int = 1
+    stride_in_1x1: bool = True
+    dilation: int = 1
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        s1, s3 = (self.stride, 1) if self.stride_in_1x1 else (1, self.stride)
+        out = _conv(self.bottleneck_channels, 1, stride=s1, dtype=self.dtype, name="conv1")(x)
+        out = nn.relu(FrozenBatchNorm(self.bottleneck_channels, dtype=self.dtype, name="bn1")(out))
+        out = nn.Conv(
+            self.bottleneck_channels,
+            (3, 3),
+            strides=(s3, s3),
+            padding=[(self.dilation, self.dilation)] * 2,
+            kernel_dilation=(self.dilation, self.dilation),
+            use_bias=False,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            name="conv2",
+        )(out)
+        out = nn.relu(FrozenBatchNorm(self.bottleneck_channels, dtype=self.dtype, name="bn2")(out))
+        out = _conv(self.out_channels, 1, dtype=self.dtype, name="conv3")(out)
+        out = FrozenBatchNorm(self.out_channels, dtype=self.dtype, name="bn3")(out)
+
+        if self.stride > 1 or x.shape[-1] != self.out_channels:
+            sc = _conv(self.out_channels, 1, stride=self.stride, dtype=self.dtype, name="shortcut")(x)
+            sc = FrozenBatchNorm(self.out_channels, dtype=self.dtype, name="shortcut_bn")(sc)
+        else:
+            sc = x
+        return nn.relu(out + sc)
+
+
+class D2ResNet(nn.Module):
+    depth: int = 50
+    out_features: Sequence[str] = ("res4",)
+    stride_in_1x1: bool = True
+    res5_dilation: int = 1
+    width_per_group: int = 64
+    stem_out_channels: int = 64
+    res2_out_channels: int = 256
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x) -> Dict[str, jnp.ndarray]:
+        d = self.dtype
+        x = nn.Conv(
+            self.stem_out_channels, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)],
+            use_bias=False, dtype=d, param_dtype=jnp.float32, name="stem_conv1",
+        )(x.astype(d))
+        x = nn.relu(FrozenBatchNorm(self.stem_out_channels, dtype=d, name="stem_bn1")(x))
+        x = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), constant_values=-jnp.inf)
+        x = nn.max_pool(x, (3, 3), strides=(2, 2))
+        outputs = {}
+        if "stem" in self.out_features:
+            outputs["stem"] = x
+
+        blocks = D2_RESNET_SPECS[self.depth]
+        out_ch = self.res2_out_channels
+        bottleneck_ch = self.width_per_group
+        for stage_idx, (name, n_blocks) in enumerate(
+            zip(("res2", "res3", "res4", "res5"), blocks)
+        ):
+            stride = 1 if stage_idx == 0 else 2
+            dilation = self.res5_dilation if name == "res5" else 1
+            if name == "res5" and self.res5_dilation > 1:
+                stride = 1
+            for b in range(n_blocks):
+                x = D2Bottleneck(
+                    bottleneck_channels=bottleneck_ch,
+                    out_channels=out_ch,
+                    stride=stride if b == 0 else 1,
+                    stride_in_1x1=self.stride_in_1x1,
+                    dilation=dilation,
+                    dtype=d,
+                    name=f"{name}_{b}",
+                )(x)
+            if name in self.out_features:
+                outputs[name] = x
+            out_ch *= 2
+            bottleneck_ch *= 2
+        return outputs
+
+    @property
+    def out_feature_strides(self):
+        return {"stem": 4, "res2": 4, "res3": 8, "res4": 16, "res5": 32}
+
+
+class FPN(nn.Module):
+    """Feature Pyramid Network (reference backbone/fpn.py:277): lateral 1x1 +
+    3x3 output convs, top-down nearest upsampling, optional top block
+    (maxpool p6)."""
+
+    in_features: Sequence[str] = ("res2", "res3", "res4", "res5")
+    out_channels: int = 256
+    fuse_type: str = "sum"
+    top_block_p6: bool = True
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, bottom_up: Dict[str, jnp.ndarray]) -> Dict[str, jnp.ndarray]:
+        feats = [bottom_up[f] for f in self.in_features]
+        laterals = [
+            nn.Conv(self.out_channels, (1, 1), dtype=self.dtype, param_dtype=jnp.float32,
+                    name=f"lateral_{f}")(x.astype(self.dtype))
+            for f, x in zip(self.in_features, feats)
+        ]
+        # top-down pathway
+        results = [laterals[-1]]
+        for lat in laterals[-2::-1]:
+            top = results[0]
+            up = jax.image.resize(
+                top, (top.shape[0], lat.shape[1], lat.shape[2], top.shape[3]), method="nearest"
+            )
+            fused = lat + up
+            if self.fuse_type == "avg":
+                fused = fused / 2.0
+            results.insert(0, fused)
+        outputs = {}
+        for i, (f, r) in enumerate(zip(self.in_features, results)):
+            p_name = f"p{i + 2}"
+            outputs[p_name] = nn.Conv(
+                self.out_channels, (3, 3), padding=1, dtype=self.dtype, param_dtype=jnp.float32,
+                name=f"output_{f}",
+            )(r)
+        if self.top_block_p6:
+            last = outputs[f"p{len(self.in_features) + 1}"]
+            outputs[f"p{len(self.in_features) + 2}"] = nn.max_pool(
+                last, (1, 1), strides=(2, 2)
+            )
+        return outputs

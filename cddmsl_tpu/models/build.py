@@ -54,6 +54,7 @@ def build_generalized_rcnn(cfg) -> GeneralizedRCNN:
         pixel_std=tuple(cfg.MODEL.PIXEL_STD),
         region_consistency_boxes=cfg.TPU.REGION_CONSISTENCY_BOXES,
         v2l_image_size=cfg.TPU.V2L_IMAGE_SIZE,
+        backbone_remat=cfg.TPU.REMAT_BACKBONE,
         dtype=_dtype(cfg),
     )
 

@@ -110,6 +110,7 @@ class GeneralizedRCNN(nn.Module):
     with_offline_backbone: bool = True
     region_consistency_boxes: int = 16
     v2l_image_size: int = 224
+    backbone_remat: bool = False
     dtype: Any = jnp.float32
 
     def setup(self):
@@ -120,6 +121,7 @@ class GeneralizedRCNN(nn.Module):
             width=self.backbone_width,
             out_features=self.backbone_out_features,
             input_resolution=self.input_resolution,
+            remat=self.backbone_remat,
             dtype=self.dtype,
             name=name,
         )
@@ -190,6 +192,11 @@ class GeneralizedRCNN(nn.Module):
         mean = jnp.asarray(self.pixel_mean, jnp.float32)
         std = jnp.asarray(self.pixel_std, jnp.float32)
         return ((x - mean) / std).astype(self.dtype)
+
+    def extract_res4(self, images: jnp.ndarray) -> jnp.ndarray:
+        """Raw images (B,H,W,3) -> res4 feature map (for the mean-teacher
+        domain discriminator, DIS_TYPE='res4')."""
+        return self.backbone(self._normalize(images))["res4"]
 
     # ---------------- branches ----------------
     def supervised_losses(self, batch: DetBatch, rng: jax.Array, on_target: bool = False):

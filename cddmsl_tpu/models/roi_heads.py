@@ -129,17 +129,26 @@ class CLIPRes5ROIHeads(nn.Module):
 
     # ---------- pooling ----------
     def pool(self, features: jnp.ndarray, boxes: jnp.ndarray) -> jnp.ndarray:
-        """features (B,H,W,C), boxes (B,S,4) -> (B*S, P, P, C)."""
-        pooled = jax.vmap(
-            lambda f, bx: roi_align(
-                f,
-                bx,
-                (self.pooler_resolution, self.pooler_resolution),
-                self.pooler_scale,
-                self.pooler_sampling_ratio,
-                True,
-            )
-        )(features, boxes)
+        """features (B,H,W,C), boxes (B,S,4) -> (B*S, P, P, C).
+
+        Rematerialized: the (R, PH, W, C) separable-interpolation intermediate
+        would otherwise be saved for backward (~GBs at 512 ROIs/img);
+        recomputing the pooling is far cheaper than holding it."""
+
+        @jax.checkpoint
+        def _pool(f, bx):
+            return jax.vmap(
+                lambda fi, bi: roi_align(
+                    fi,
+                    bi,
+                    (self.pooler_resolution, self.pooler_resolution),
+                    self.pooler_scale,
+                    self.pooler_sampling_ratio,
+                    True,
+                )
+            )(f, bx)
+
+        pooled = _pool(features, boxes)
         b, s = boxes.shape[:2]
         return pooled.reshape(b * s, self.pooler_resolution, self.pooler_resolution, -1)
 

@@ -22,7 +22,9 @@ def create_mesh(mesh_shape: Sequence[int] = (-1,), axis_names: Sequence[str] = (
     if -1 in shape:
         known = int(np.prod([s for s in shape if s != -1])) or 1
         shape[shape.index(-1)] = len(devices) // known
-    return Mesh(devices.reshape(shape), tuple(axis_names))
+    need = int(np.prod(shape))
+    assert need <= len(devices), f"mesh {shape} needs {need} devices, have {len(devices)}"
+    return Mesh(devices[:need].reshape(shape), tuple(axis_names))
 
 
 def mesh_from_cfg(cfg) -> Mesh:

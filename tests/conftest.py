@@ -4,16 +4,25 @@ initializes, so multi-chip sharding paths are exercised without TPU hardware
 
 import os
 
-# force, not setdefault: the shell exports JAX_PLATFORMS=axon (real TPU) and
-# unit tests must be deterministic CPU
-os.environ["JAX_PLATFORMS"] = "cpu"
+# Unit tests must run on a deterministic local CPU (8 virtual devices for
+# mesh tests). The axon sitecustomize force-registers the remote TPU and
+# overrides the JAX_PLATFORMS env var, so the config must be set through
+# jax.config AFTER import — env manipulation alone silently leaves tests
+# running over the TPU tunnel (every op a network round-trip).
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
 
 import jax
+
+jax.config.update("jax_platforms", "cpu")
+
 import numpy as np
 import pytest
+
+assert jax.default_backend() == "cpu", "tests must run on CPU"
+assert jax.device_count() == 8, "expected 8 virtual CPU devices"
 
 # persistent compile cache: XLA CPU compiles dominate suite runtime otherwise
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_cddmsl_tests")

@@ -1,0 +1,104 @@
+"""ClipCap caption model: decode semantics, losses, tokenizer."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cddmsl_tpu.models.caption import (
+    ClipCaptionModel,
+    generate,
+    pseudo_labeling_loss,
+    unsupervised_kl_loss,
+)
+from cddmsl_tpu.models.gpt2 import GPT2Config
+
+
+@pytest.fixture(scope="module")
+def tiny_caption():
+    model = ClipCaptionModel(
+        prefix_length=4,
+        clip_length=4,
+        dim_clip=16,
+        gpt_config=GPT2Config(vocab_size=50, n_positions=64, n_embd=16, n_layer=2, n_head=2),
+    )
+    prefix = jnp.asarray(np.random.RandomState(0).randn(2, 16).astype(np.float32))
+    tokens = jnp.asarray(np.random.RandomState(1).randint(0, 50, (2, 6)))
+    params = model.init(jax.random.PRNGKey(0), tokens, prefix)
+    return model, params, prefix, tokens
+
+
+def test_teacher_forced_logits_shape(tiny_caption):
+    model, params, prefix, tokens = tiny_caption
+    logits = model.apply(params, tokens, prefix)
+    assert logits.shape == (2, 4 + 6, 50)
+
+
+def test_caption_loss_finite(tiny_caption):
+    model, params, prefix, tokens = tiny_caption
+    mask = jnp.ones(tokens.shape, jnp.float32)
+    loss = model.apply(params, tokens, prefix, mask, method=model.caption_loss)
+    assert np.isfinite(float(loss))
+    assert float(loss) > 0
+
+
+def test_greedy_decode_matches_teacher_forcing(tiny_caption):
+    """The scan/KV-cache decode must produce exactly the tokens that greedy
+    decoding via repeated full forward passes would (the reference's loop)."""
+    model, params, prefix, _ = tiny_caption
+    max_len = 5
+    stop = 49  # unlikely token as stop
+    tokens, valid = generate(model, params, prefix, max_len, stop_token=stop)
+    assert tokens.shape == (2, max_len)
+
+    # oracle: naive re-run of the full model per step (the reference's loop)
+    prefix_emb = model.apply(params, prefix, method=model.map_prefix)
+    cur = jnp.zeros((2, 0), jnp.int32)
+    for i in range(max_len):
+        if cur.shape[1] == 0:
+            logits, _ = model.apply(params, prefix_emb, method=lambda m, e: m.gpt(e))
+        else:
+            logits = model.apply(params, cur, prefix)
+        nxt = jnp.argmax(logits[:, -1], axis=-1)
+        cur = jnp.concatenate([cur, nxt[:, None].astype(jnp.int32)], axis=1)
+    np.testing.assert_array_equal(np.asarray(tokens), np.asarray(cur))
+
+
+def test_stop_token_masks_tail(tiny_caption):
+    model, params, prefix, _ = tiny_caption
+    tokens, valid = generate(model, params, prefix, 4, stop_token=-1)
+    assert np.asarray(valid).all()  # stop never hit with impossible stop id
+
+
+def test_pseudo_labeling_and_kl_losses(tiny_caption):
+    model, params, prefix, _ = tiny_caption
+    prefix2 = prefix + 0.1
+    pl = pseudo_labeling_loss(model, params, prefix, prefix2, 4)
+    kl = unsupervised_kl_loss(model, params, prefix, prefix2, 4)
+    assert np.isfinite(float(pl)) and float(pl) > 0
+    assert np.isfinite(float(kl)) and float(kl) >= 0
+    # KL of identical prefixes is ~0
+    kl0 = unsupervised_kl_loss(model, params, prefix, prefix, 4)
+    assert float(kl0) < 1e-5
+
+
+def test_tokenizer_roundtrip():
+    pytest.importorskip("regex", reason="")
+    try:
+        from cddmsl_tpu.data.clip_tokenizer import SimpleTokenizer, tokenize
+        tok = SimpleTokenizer()
+    except FileNotFoundError:
+        pytest.skip("CLIP BPE vocab not available")
+    ids = tok.encode("a photo of a dog")
+    assert len(ids) > 0
+    assert tok.decode(ids).strip() == "a photo of a dog"
+    arr = tokenize(["a photo of a dog", "hello world"], tok)
+    assert arr.shape == (2, 77)
+    assert (arr[:, 0] == tok.encoder["<|startoftext|>"]).all()
+
+
+def test_prompt_templates():
+    from cddmsl_tpu.data.clip_tokenizer import PROMPT_TEMPLATES
+
+    assert len(PROMPT_TEMPLATES) == 80
+    assert all("{}" in t for t in PROMPT_TEMPLATES)

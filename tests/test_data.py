@@ -1,0 +1,185 @@
+"""Data path tests on a synthetic on-disk VOC fixture: paired DG loading,
+shared geometric transforms across views, collation to DetBatch, evaluator
+math."""
+
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from cddmsl_tpu.config import get_cfg
+from cddmsl_tpu.data import (
+    DatasetCatalog,
+    DatasetMapper,
+    MetadataCatalog,
+    build_detection_test_loader,
+    build_detection_train_loader,
+    divide_label_unlabel,
+    pad_and_collate,
+)
+from cddmsl_tpu.data.datasets.voc import load_voc_DG_instances, register_pascal_DG, register_pascal_voc
+from cddmsl_tpu.evaluation import PascalVOCDetectionEvaluator, voc_ap, voc_eval_class
+
+
+def _make_voc(root, year=2007, n=4, with_dt=True, seed=0):
+    rng = np.random.RandomState(seed)
+    voc = os.path.join(root, f"VOC{year}")
+    os.makedirs(os.path.join(voc, "Annotations"), exist_ok=True)
+    os.makedirs(os.path.join(voc, "JPEGImages"), exist_ok=True)
+    os.makedirs(os.path.join(voc, "ImageSets", "Main"), exist_ok=True)
+    if with_dt:
+        dt = os.path.join(root, "dt_clipart", f"VOC{year}", "JPEGImages")
+        os.makedirs(dt, exist_ok=True)
+    ids = []
+    for i in range(n):
+        fid = f"{i:06d}"
+        ids.append(fid)
+        h, w = 120 + 10 * i, 160 + 10 * i
+        img = (rng.rand(h, w, 3) * 255).astype(np.uint8)
+        Image.fromarray(img).save(os.path.join(voc, "JPEGImages", fid + ".jpg"))
+        if with_dt:
+            Image.fromarray(255 - img).save(os.path.join(dt, fid + ".jpg"))
+        xml = f"""<annotation><size><width>{w}</width><height>{h}</height><depth>3</depth></size>
+<object><name>dog</name><difficult>0</difficult>
+<bndbox><xmin>10</xmin><ymin>20</ymin><xmax>60</xmax><ymax>80</ymax></bndbox></object>
+<object><name>person</name><difficult>1</difficult>
+<bndbox><xmin>30</xmin><ymin>30</ymin><xmax>90</xmax><ymax>100</ymax></bndbox></object>
+</annotation>"""
+        with open(os.path.join(voc, "Annotations", fid + ".xml"), "w") as f:
+            f.write(xml)
+    with open(os.path.join(voc, "ImageSets", "Main", "trainval.txt"), "w") as f:
+        f.write("\n".join(ids))
+    return voc
+
+
+def test_voc_dg_loading(tmp_path):
+    voc = _make_voc(str(tmp_path))
+    dicts = load_voc_DG_instances(voc, "trainval", "dt_clipart")
+    assert len(dicts) == 4
+    d = dicts[0]
+    assert d["height"] == 120 and d["width"] == 160
+    assert "dt_clipart" in d["data_dt_file_name"]
+    assert os.path.exists(d["data_dt_file_name"])
+    assert len(d["annotations"]) == 2
+    assert d["annotations"][0]["bbox"] == [9.0, 19.0, 60.0, 80.0]  # 1-indexed -> 0-indexed
+
+
+def test_mapper_pairs_share_transforms(tmp_path):
+    voc = _make_voc(str(tmp_path))
+    dicts = load_voc_DG_instances(voc, "trainval", "dt_clipart")
+    cfg = get_cfg()
+    cfg.INPUT.MIN_SIZE_TRAIN = (100,)
+    cfg.INPUT.MAX_SIZE_TRAIN = 200
+    cfg.INPUT.FORMAT = "RGB"
+    mapper = DatasetMapper(cfg, is_train=True)
+    rng = np.random.RandomState(3)
+    s = mapper(dicts[0], rng)
+    # twin is the negated image; after identical geometric transforms the
+    # relation must hold everywhere (bilinear resize commutes with 255-x)
+    a = s["image"].astype(np.int32)
+    b = s["image_trgt"].astype(np.int32)
+    assert a.shape == b.shape
+    assert np.abs((a + b) - 255).mean() < 2.0
+    # difficult instance dropped in training
+    assert len(s["boxes"]) == 1
+    # boxes scaled with image
+    scale = s["image"].shape[0] / 120
+    np.testing.assert_allclose(s["boxes"][0], np.array([9, 19, 60, 80]) * scale, atol=1.5)
+
+
+def test_train_loader_batches(tmp_path):
+    voc = _make_voc(str(tmp_path))
+    register_pascal_DG("test_voc_dg_trainval", voc, "trainval", 2007, "dt_clipart")
+    try:
+        cfg = get_cfg()
+        cfg.DATASETS.TRAIN = ("test_voc_dg_trainval",)
+        cfg.SOLVER.IMS_PER_BATCH = 2
+        cfg.INPUT.MIN_SIZE_TRAIN = (96,)
+        cfg.INPUT.MAX_SIZE_TRAIN = 160
+        cfg.TPU.PAD_SIZE_TRAIN = [96, 160]
+        cfg.TPU.MAX_GT_BOXES = 10
+        loader = build_detection_train_loader(cfg)
+        batch = next(loader)
+        assert batch.image.shape == (2, 96, 160, 3)
+        assert batch.image_trgt.shape == (2, 96, 160, 3)
+        assert batch.gt_boxes.shape == (2, 10, 4)
+        assert int(batch.gt_valid.sum()) == 2  # one non-difficult box per image
+    finally:
+        DatasetCatalog.remove("test_voc_dg_trainval")
+
+
+def test_test_loader_and_final_padding(tmp_path):
+    voc = _make_voc(str(tmp_path))
+    register_pascal_voc("test_voc_plain", voc, "trainval", 2007)
+    try:
+        cfg = get_cfg()
+        cfg.INPUT.MIN_SIZE_TEST = 96
+        cfg.INPUT.MAX_SIZE_TEST = 160
+        cfg.TPU.PAD_SIZE_TEST = [96, 160]
+        loader, n = build_detection_test_loader(cfg, "test_voc_plain", batch_size=3)
+        assert n == 4
+        batches = list(loader)
+        total_meta = sum(len(m) for _, m in batches)
+        assert total_meta == 4
+        assert all(b.image.shape[0] == 3 for b, _ in batches)  # static batch
+    finally:
+        DatasetCatalog.remove("test_voc_plain")
+
+
+def test_divide_label_unlabel():
+    dicts = [{"i": i} for i in range(100)]
+    lab, unlab = divide_label_unlabel(dicts, 25.0, seed=1)
+    assert len(lab) == 25 and len(unlab) == 75
+    lab2, _ = divide_label_unlabel(dicts, 25.0, seed=1)
+    assert lab == lab2  # deterministic
+
+
+# ---------------- evaluator ----------------
+def test_voc_ap_perfect_and_miss():
+    gt = {"img1": {"boxes": np.array([[10, 10, 50, 50.0]]), "difficult": np.array([False])}}
+    dets = [{"image_id": "img1", "score": 0.9, "bbox": [10, 10, 50, 50]}]
+    assert voc_eval_class(dets, gt, 0.5, use_07_metric=False) == 1.0
+    dets_miss = [{"image_id": "img1", "score": 0.9, "bbox": [100, 100, 150, 150]}]
+    assert voc_eval_class(dets_miss, gt, 0.5) == 0.0
+
+
+def test_voc_ap_difficult_ignored():
+    gt = {
+        "img1": {
+            "boxes": np.array([[10, 10, 50, 50.0], [60, 60, 90, 90]]),
+            "difficult": np.array([False, True]),
+        }
+    }
+    # detection on the difficult box: neither TP nor FP
+    dets = [
+        {"image_id": "img1", "score": 0.9, "bbox": [10, 10, 50, 50]},
+        {"image_id": "img1", "score": 0.8, "bbox": [60, 60, 90, 90]},
+    ]
+    assert voc_eval_class(dets, gt, 0.5) == 1.0
+
+
+def test_voc_07_metric_differs():
+    rec = np.array([0.5])
+    prec = np.array([1.0])
+    ap07 = voc_ap(rec, prec, use_07_metric=True)
+    ap12 = voc_ap(rec, prec, use_07_metric=False)
+    assert abs(ap07 - 6 / 11) < 1e-6  # 11-point: t in {0,...,0.5} get p=1
+    assert abs(ap12 - 0.5) < 1e-6
+
+
+def test_evaluator_end_to_end(tmp_path):
+    voc = _make_voc(str(tmp_path))
+    register_pascal_voc("test_voc_eval", voc, "trainval", 2007)
+    try:
+        ev = PascalVOCDetectionEvaluator("test_voc_eval")
+        dog = 11  # CLASS_NAMES.index("dog")
+        for i in range(4):
+            iid = f"{i:06d}"
+            ev.process_gt(iid, np.array([[9, 19, 60, 80.0]]), np.array([dog]), np.array([False]))
+            ev.process(iid, np.array([[9, 19, 60, 80.0]]), np.array([0.95]), np.array([dog]))
+        res = ev.evaluate()["bbox"]
+        assert res["AP50-dog"] > 99.0
+        assert res["AP50"] > 0  # mean over all 20 classes includes zeros
+    finally:
+        DatasetCatalog.remove("test_voc_eval")

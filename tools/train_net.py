@@ -1,0 +1,54 @@
+#!/usr/bin/env python
+"""Main training/eval CLI (the reference tools/train_net.py:148-195 surface):
+
+  python tools/train_net.py --config-file configs/VOC-Experiments/faster_rcnn_CLIP_R_50_C4.yaml \
+      MODEL.CLIP.TEXT_EMB_PATH .../voc_20_cls_emb.pth MODEL.WEIGHTS .../regionclip.pth
+  python tools/train_net.py --eval-only --config-file ... MODEL.WEIGHTS ...
+
+One process drives the full TPU mesh (no --num-gpus / launch())."""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from cddmsl_tpu.config import add_ateacher_config, get_cfg
+from cddmsl_tpu.engine.defaults import DefaultTrainer, default_argument_parser, default_setup
+from cddmsl_tpu.evaluation import verify_results
+
+
+def setup(args):
+    cfg = get_cfg()
+    add_ateacher_config(cfg)
+    if args.config_file:
+        cfg.merge_from_file(args.config_file)
+    if args.opts:
+        cfg.merge_from_list(args.opts)
+    cfg.freeze()
+    default_setup(cfg, args)
+    return cfg
+
+
+def main(args):
+    cfg = setup(args)
+
+    trainer_name = cfg.SEMISUPNET.Trainer if "SEMISUPNET" in cfg else "default"
+    if trainer_name == "ateacher" and not args.eval_only:
+        from cddmsl_tpu.engine.mean_teacher import MeanTeacherTrainer
+
+        trainer = MeanTeacherTrainer(cfg)
+    else:
+        trainer = DefaultTrainer(cfg)
+
+    trainer.resume_or_load(resume=args.resume)
+    if args.eval_only:
+        results = trainer.test(cfg, trainer.state)
+        for res in results.values():
+            verify_results(cfg, res)
+        return results
+    return trainer.train()
+
+
+if __name__ == "__main__":
+    args = default_argument_parser().parse_args()
+    main(args)
