@@ -15,6 +15,13 @@ import numpy as np
 
 from ..data.catalog import MetadataCatalog
 
+
+def _native_lib():
+    from ..csrc.build import load_native
+
+    return load_native("cocoeval")
+
+
 IOU_THRESHOLDS = np.linspace(0.5, 0.95, 10)  # pycocotools Params.setDetParams
 RECALL_POINTS = np.linspace(0.0, 1.0, 101)
 AREA_RANGES = {
@@ -42,12 +49,37 @@ def _iou_matrix(dets: np.ndarray, gts: np.ndarray, iscrowd: np.ndarray) -> np.nd
 
 def _eval_image(dets, det_scores, gts, gt_ignore, iscrowd, thresholds):
     """Greedy matching per COCOeval.evaluateImg. Returns per-threshold
-    (det_matched_ignore, det_tp) arrays sorted by score desc, plus npos."""
+    (det_matched_ignore, det_tp) arrays sorted by score desc, plus npos.
+    Uses the C++ kernel (csrc/cocoeval.cpp) when available."""
     order = np.argsort(-det_scores, kind="stable")
     dets = dets[order]
     # gts ordered real-first (cocoeval sorts by ignore flag)
     g_order = np.argsort(gt_ignore.astype(np.int8), kind="stable")
     gts, gt_ignore, iscrowd = gts[g_order], gt_ignore[g_order], iscrowd[g_order]
+
+    native = _native_lib()
+    if native is not None and len(dets) and len(gts):
+        import ctypes
+
+        T, D, G = len(thresholds), len(dets), len(gts)
+        tp = np.zeros((T, D), np.uint8)
+        ign = np.zeros((T, D), np.uint8)
+        c_dbl = ctypes.POINTER(ctypes.c_double)
+        c_u8 = ctypes.POINTER(ctypes.c_uint8)
+        native.coco_eval_image(
+            ctypes.c_int64(D),
+            ctypes.c_int64(G),
+            ctypes.c_int64(T),
+            np.ascontiguousarray(dets, np.float64).ctypes.data_as(c_dbl),
+            np.ascontiguousarray(gts, np.float64).ctypes.data_as(c_dbl),
+            np.ascontiguousarray(gt_ignore, np.uint8).ctypes.data_as(c_u8),
+            np.ascontiguousarray(iscrowd, np.uint8).ctypes.data_as(c_u8),
+            np.ascontiguousarray(thresholds, np.float64).ctypes.data_as(c_dbl),
+            tp.ctypes.data_as(c_u8),
+            ign.ctypes.data_as(c_u8),
+        )
+        return det_scores[order], tp.astype(bool), ign.astype(bool)
+
     ious = _iou_matrix(dets, gts, iscrowd)
     T = len(thresholds)
     D, G = len(dets), len(gts)

@@ -78,3 +78,25 @@ def test_area_splits(evaluator):
     res = evaluator.evaluate()["bbox"]
     assert res["APs"] == pytest.approx(100.0, abs=1e-6)
     assert np.isnan(res["APl"])
+
+
+def test_native_matches_numpy_fallback(rng):
+    """C++ kernel (csrc/cocoeval.cpp) vs the numpy implementation."""
+    from unittest import mock
+
+    import cddmsl_tpu.evaluation.coco_eval as ce
+
+    dets = rng.rand(30, 4) * 100
+    dets[:, 2:] += dets[:, :2] + 5
+    scores = rng.rand(30)
+    gts = rng.rand(10, 4) * 100
+    gts[:, 2:] += gts[:, :2] + 5
+    gt_ignore = rng.rand(10) > 0.7
+    iscrowd = np.zeros(10, bool)
+    th = ce.IOU_THRESHOLDS
+
+    native = ce._eval_image(dets, scores, gts, gt_ignore, iscrowd, th)
+    with mock.patch.object(ce, "_native_lib", lambda: None):
+        ref = ce._eval_image(dets, scores, gts, gt_ignore, iscrowd, th)
+    for a, b in zip(native, ref):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
