@@ -100,10 +100,11 @@ class MeanTeacherTrainer(DefaultTrainer):
         feat = jnp.zeros((1, 8, 8, self.model.backbone_width * 16), jnp.float32)
         self.dis_params = self.discriminator.init(jax.random.PRNGKey(1), feat)
         self.dis_optimizer = optax.sgd(build_lr_schedule(cfg), momentum=cfg.SOLVER.MOMENTUM)
+        _copy = lambda t: jax.tree_util.tree_map(jnp.array, t)  # un-alias for donation
         self.mt_state = MTState(
             step=jnp.zeros((), jnp.int32),
             params=self.state.params,
-            teacher_params=self.state.params,
+            teacher_params=_copy(self.state.params),
             dis_params=self.dis_params,
             opt_state=self.state.opt_state,
             dis_opt_state=self.dis_optimizer.init(self.dis_params),
@@ -113,7 +114,9 @@ class MeanTeacherTrainer(DefaultTrainer):
     def resume_or_load(self, resume: bool = True):
         super().resume_or_load(resume)
         self.mt_state = self.mt_state.replace(
-            params=self.state.params, teacher_params=self.state.params, step=self.state.step
+            params=self.state.params,
+            teacher_params=jax.tree_util.tree_map(jnp.array, self.state.params),
+            step=self.state.step,
         )
 
     def _pseudo_label(self, teacher_params, weak_batch: DetBatch):

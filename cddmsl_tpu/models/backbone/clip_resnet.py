@@ -169,12 +169,20 @@ class ModifiedResNet(nn.Module):
     out_features: Sequence[str] = ("res4",)
     input_resolution: int = 224
     remat: bool = False  # rematerialize blocks: trade FLOPs for HBM
+    # which stages to remat when remat=True; the early stages hold the big
+    # activations — rematting layer3/4 too costs FLOPs for little memory
+    remat_stages: Sequence[str] = ("layer1", "layer2")
     dtype: Any = jnp.float32
 
     def setup(self):
         w = self.width
         d = self.dtype
-        Block = nn.remat(Bottleneck) if self.remat else Bottleneck
+
+        def block_cls(stage: str):
+            if self.remat and stage in self.remat_stages:
+                return nn.remat(Bottleneck)
+            return Bottleneck
+
         self.conv1 = _conv(w // 2, 3, stride=2, padding=1, dtype=d)
         self.bn1 = FrozenBatchNorm(w // 2, dtype=d)
         self.conv2 = _conv(w // 2, 3, padding=1, dtype=d)
@@ -182,10 +190,11 @@ class ModifiedResNet(nn.Module):
         self.conv3 = _conv(w, 3, padding=1, dtype=d)
         self.bn3 = FrozenBatchNorm(w, dtype=d)
 
-        self.layer1 = [Block(w, 1 if i else 1, dtype=d) for i in range(self.layers[0])]
-        self.layer2 = [Block(w * 2, 2 if i == 0 else 1, dtype=d) for i in range(self.layers[1])]
-        self.layer3 = [Block(w * 4, 2 if i == 0 else 1, dtype=d) for i in range(self.layers[2])]
-        self.layer4 = [Block(w * 8, 2 if i == 0 else 1, dtype=d) for i in range(self.layers[3])]
+        B1, B2, B3, B4 = (block_cls(s) for s in ("layer1", "layer2", "layer3", "layer4"))
+        self.layer1 = [B1(w, 1 if i else 1, dtype=d) for i in range(self.layers[0])]
+        self.layer2 = [B2(w * 2, 2 if i == 0 else 1, dtype=d) for i in range(self.layers[1])]
+        self.layer3 = [B3(w * 4, 2 if i == 0 else 1, dtype=d) for i in range(self.layers[2])]
+        self.layer4 = [B4(w * 8, 2 if i == 0 else 1, dtype=d) for i in range(self.layers[3])]
 
         embed_dim = w * 32
         self.attnpool = AttentionPool2d(
