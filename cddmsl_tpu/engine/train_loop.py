@@ -54,28 +54,15 @@ def make_train_step(
     """Returns jitted (state, batch, rng) -> (state, metrics)."""
 
     def loss_fn(params, batch: DetBatch, rng: jax.Array, step: jnp.ndarray):
-        k_sup, k_region = jax.random.split(rng)
-        losses = model.apply(params, batch, k_sup, method=model.supervised_losses)
-
-        if enable_caption:
-            def caption_on(_):
-                cc = model.apply(params, batch, kd_regularization, method=model.caption_consistency)
-                ccr = model.apply(params, batch, k_region, method=model.caption_consistency_region)
-                return (
-                    cc["cont_loss"],
-                    cc.get("kd_loss", jnp.zeros(())),
-                    ccr["cont_loss_region"],
-                )
-
-            def caption_off(_):
-                return jnp.zeros(()), jnp.zeros(()), jnp.zeros(())
-
-            cont, kd, cont_region = jax.lax.cond(step > caption_burnup_iters, caption_on, caption_off, None)
-            losses["cont_loss"] = cont
-            if kd_regularization:
-                losses["kd_loss"] = kd
-            losses["cont_loss_region"] = cont_region
-
+        losses = model.apply(
+            params,
+            batch,
+            rng,
+            step > caption_burnup_iters,
+            kd_regularization,
+            enable_caption,
+            method=model.cddmsl_losses,
+        )
         total = jnp.sum(jnp.stack([v for v in losses.values()]))
         return total, losses
 

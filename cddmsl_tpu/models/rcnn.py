@@ -318,6 +318,74 @@ class GeneralizedRCNN(nn.Module):
         p_trgt = self.image_projector(r_trgt)
         return {"cont_loss": infonce_bidirectional(p_src, p_trgt)}
 
+    def cddmsl_losses(
+        self,
+        batch: DetBatch,
+        rng: jax.Array,
+        caption_on: jnp.ndarray,  # bool scalar: past burn-up
+        kd_regularization: bool = True,
+        enable_caption: bool = True,
+    ):
+        """The full CDDMSL loss set as ONE fused computation, sharing the
+        full-res source backbone forward between the supervised branch and the
+        region-level consistency branch (the reference recomputes it;
+        rcnn.py:592-623 + :422-470). The caption branches are gated by
+        `caption_on` via lax.cond (burn-up)."""
+        k_sup, k_roi, k_region = jax.random.split(rng, 3)
+
+        src = self._normalize(batch.image)
+        f_src = self.backbone(src)["res4"]
+
+        # ---- supervised detection on the source view ----
+        proposals, rpn_losses = self.proposal_generator(
+            f_src, batch.image_sizes, training=True,
+            gt_boxes=batch.gt_boxes, gt_valid=batch.gt_valid, rng=k_sup,
+        )
+        _, det_losses = self.roi_heads(
+            f_src, proposals, batch.image_sizes, training=True,
+            res5_fn=self.backbone.res5_forward,
+            attnpool_fn=self.backbone.attnpool_forward if self.use_text_emb else None,
+            gt_boxes=batch.gt_boxes, gt_classes=batch.gt_classes,
+            gt_valid=batch.gt_valid, rng=k_roi,
+        )
+        losses = {**det_losses, **rpn_losses}
+        if not enable_caption:
+            return losses
+
+        def caption_branches(_):
+            cc = self.caption_consistency(batch, kd_regularization=kd_regularization)
+            # region branch reuses f_src and this step's proposals
+            trgt = self._normalize(batch.image_trgt)
+            f_trgt = self.backbone(trgt)["res4"]
+            boxes = self._random_region_boxes(
+                Proposals(
+                    jax.lax.stop_gradient(proposals.boxes),
+                    jax.lax.stop_gradient(proposals.scores),
+                    proposals.valid,
+                ),
+                k_region,
+            )
+            r_src, r_trgt = self.roi_heads.forward_get_features(
+                f_src, f_trgt, boxes, self.backbone.res5_forward, self.backbone.attnpool_forward
+            )
+            p_src = self.projector(v2l(self.v2l_mapper(r_src)))
+            p_trgt = self.projector(v2l(self.v2l_mapper(r_trgt)))
+            return (
+                cc["cont_loss"],
+                cc.get("kd_loss", jnp.zeros(())),
+                infonce_bidirectional(p_src, p_trgt),
+            )
+
+        def caption_off(_):
+            return jnp.zeros(()), jnp.zeros(()), jnp.zeros(())
+
+        cont, kd, cont_region = jax.lax.cond(caption_on, caption_branches, caption_off, None)
+        losses["cont_loss"] = cont
+        if kd_regularization:
+            losses["kd_loss"] = kd
+        losses["cont_loss_region"] = cont_region
+        return losses
+
     def __call__(self, batch: DetBatch, rng: jax.Array):
         """Default = supervised branch (keeps init simple: one call touches
         every submodule except the consistency heads)."""

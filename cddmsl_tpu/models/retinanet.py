@@ -1,0 +1,172 @@
+"""RetinaNet meta-architecture (reference detectron2/modeling/meta_arch/
+retinanet.py, 609 LoC): single-stage detector over FPN p3-p7 with shared
+4-conv cls/box towers, focal loss, smooth-L1 box regression, and per-level
+top-k + class-aware NMS inference — static-shape throughout.
+
+Not used by the CDDMSL recipes; provided for meta-architecture parity.
+"""
+
+import math
+from typing import Any, Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..ops.anchors import anchor_grid, generate_cell_anchors
+from ..ops.box_regression import Box2BoxTransform
+from ..ops.nms import batched_nms
+from ..structures import boxes as box_ops
+from .backbone.resnet import D2ResNet, FPN
+from .fast_rcnn import DetectionResult
+from .matcher import Matcher
+from .rcnn import DetBatch
+from .rpn import smooth_l1
+
+
+class RetinaNetHead(nn.Module):
+    num_classes: int
+    num_anchors: int
+    conv_dims: Sequence[int] = (256, 256, 256, 256)
+    prior_prob: float = 0.01
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, features: Sequence[jnp.ndarray]):
+        cls_convs = [
+            nn.Conv(c, (3, 3), padding=1, dtype=self.dtype, param_dtype=jnp.float32, name=f"cls_conv{i}")
+            for i, c in enumerate(self.conv_dims)
+        ]
+        box_convs = [
+            nn.Conv(c, (3, 3), padding=1, dtype=self.dtype, param_dtype=jnp.float32, name=f"box_conv{i}")
+            for i, c in enumerate(self.conv_dims)
+        ]
+        bias_init = nn.initializers.constant(-math.log((1 - self.prior_prob) / self.prior_prob))
+        cls_score = nn.Conv(
+            self.num_anchors * self.num_classes, (3, 3), padding=1,
+            bias_init=bias_init, dtype=self.dtype, param_dtype=jnp.float32, name="cls_score",
+        )
+        bbox_pred = nn.Conv(
+            self.num_anchors * 4, (3, 3), padding=1, dtype=self.dtype, param_dtype=jnp.float32, name="bbox_pred",
+        )
+        logits, deltas = [], []
+        for f in features:
+            c = f
+            for conv in cls_convs:
+                c = nn.relu(conv(c))
+            logits.append(cls_score(c))
+            b = f
+            for conv in box_convs:
+                b = nn.relu(conv(b))
+            deltas.append(bbox_pred(b))
+        return logits, deltas
+
+
+class RetinaNet(nn.Module):
+    num_classes: int = 80
+    depth: int = 50
+    in_features: Sequence[str] = ("p3", "p4", "p5", "p6", "p7")
+    anchor_sizes: Sequence[Sequence[float]] = ((32, 40, 50), (64, 81, 101), (128, 161, 203), (256, 322, 406), (512, 645, 813))
+    aspect_ratios: Sequence[float] = (0.5, 1.0, 2.0)
+    strides: Sequence[int] = (8, 16, 32, 64, 128)
+    focal_alpha: float = 0.25
+    focal_gamma: float = 2.0
+    smooth_l1_beta: float = 0.1
+    score_thresh: float = 0.05
+    nms_thresh: float = 0.5
+    topk_candidates: int = 1000
+    detections_per_image: int = 100
+    pixel_mean: Sequence[float] = (103.53, 116.28, 123.675)
+    pixel_std: Sequence[float] = (1.0, 1.0, 1.0)
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        self.backbone = D2ResNet(depth=self.depth, out_features=("res3", "res4", "res5"), dtype=self.dtype)
+        self.fpn = FPN(in_features=("res3", "res4", "res5"), top_block_p6=True, dtype=self.dtype)
+        self.head = RetinaNetHead(
+            num_classes=self.num_classes,
+            num_anchors=len(self.anchor_sizes[0]) * len(self.aspect_ratios),
+            dtype=self.dtype,
+        )
+        self.box2box = Box2BoxTransform((1.0, 1.0, 1.0, 1.0))
+        self.matcher = Matcher([0.4, 0.5], [0, -1, 1], allow_low_quality_matches=True)
+
+    def _features(self, images: jnp.ndarray):
+        mean = jnp.asarray(self.pixel_mean, jnp.float32)
+        std = jnp.asarray(self.pixel_std, jnp.float32)
+        x = ((images - mean) / std).astype(self.dtype)
+        feats = self.fpn(self.backbone(x))
+        # p6 from FPN top block; p7 = relu+stride-2 conv is approximated by a
+        # second maxpool level for static parity
+        levels = []
+        keys = sorted(feats.keys())
+        for k in keys:
+            levels.append(feats[k])
+        while len(levels) < len(self.strides):
+            levels.append(nn.max_pool(levels[-1], (1, 1), strides=(2, 2)))
+        return levels[: len(self.strides)]
+
+    def _anchors(self, shapes):
+        out = []
+        for (h, w), stride, sizes in zip(shapes, self.strides, self.anchor_sizes):
+            cell = generate_cell_anchors(tuple(sizes), tuple(self.aspect_ratios))
+            out.append(anchor_grid(h, w, stride, cell))
+        return jnp.concatenate(out, axis=0)
+
+    def losses(self, batch: DetBatch, rng: jax.Array) -> Dict[str, jnp.ndarray]:
+        levels = self._features(batch.image)
+        logits_l, deltas_l = self.head(levels)
+        b = batch.image.shape[0]
+        logits = jnp.concatenate(
+            [l.reshape(b, -1, self.num_classes).astype(jnp.float32) for l in logits_l], axis=1
+        )
+        deltas = jnp.concatenate([d.reshape(b, -1, 4).astype(jnp.float32) for d in deltas_l], axis=1)
+        anchors = self._anchors([l.shape[1:3] for l in levels])
+
+        def per_image(logit, delta, gtb, gtc, gtv):
+            iou = box_ops.pairwise_iou(gtb, anchors)
+            matched_idxs, match_labels = self.matcher(iou, gtv)
+            fg = match_labels == 1
+            valid = match_labels != -1
+            gt_cls = jnp.where(fg, gtc[matched_idxs], self.num_classes)
+            onehot = jax.nn.one_hot(gt_cls, self.num_classes)  # bg row -> all zeros
+            p = jax.nn.sigmoid(logit)
+            ce = jnp.maximum(logit, 0) - logit * onehot + jnp.log1p(jnp.exp(-jnp.abs(logit)))
+            p_t = p * onehot + (1 - p) * (1 - onehot)
+            alpha_t = self.focal_alpha * onehot + (1 - self.focal_alpha) * (1 - onehot)
+            focal = alpha_t * ((1 - p_t) ** self.focal_gamma) * ce
+            cls_loss = jnp.sum(focal * valid[:, None])
+            gt_deltas = self.box2box.get_deltas(anchors, gtb[matched_idxs])
+            reg = jnp.sum(smooth_l1(delta, gt_deltas, self.smooth_l1_beta) * fg[:, None])
+            return cls_loss, reg, jnp.sum(fg)
+
+        cls, reg, nfg = jax.vmap(per_image)(logits, deltas, batch.gt_boxes, batch.gt_classes, batch.gt_valid)
+        norm = jnp.maximum(jnp.sum(nfg), 1.0)
+        return {"loss_cls": jnp.sum(cls) / norm, "loss_box_reg": jnp.sum(reg) / norm}
+
+    def inference(self, batch: DetBatch) -> DetectionResult:
+        levels = self._features(batch.image)
+        logits_l, deltas_l = self.head(levels)
+        b = batch.image.shape[0]
+        anchors = self._anchors([l.shape[1:3] for l in levels])
+        logits = jnp.concatenate(
+            [l.reshape(b, -1, self.num_classes).astype(jnp.float32) for l in logits_l], axis=1
+        )
+        deltas = jnp.concatenate([d.reshape(b, -1, 4).astype(jnp.float32) for d in deltas_l], axis=1)
+
+        def per_image(logit, delta, hw):
+            probs = jax.nn.sigmoid(logit).reshape(-1)
+            k = min(self.topk_candidates, probs.shape[0])
+            top_p, top_i = jax.lax.top_k(probs, k)
+            a_idx = top_i // self.num_classes
+            cls = (top_i % self.num_classes).astype(jnp.int32)
+            boxes = self.box2box.apply_deltas(delta[a_idx], anchors[a_idx])
+            boxes = box_ops.clip(boxes, (hw[0], hw[1]))
+            ok = top_p > self.score_thresh
+            idx, valid = batched_nms(boxes, top_p, cls, self.nms_thresh, self.detections_per_image, valid=ok)
+            return DetectionResult(boxes[idx], jnp.where(valid, top_p[idx], 0.0), cls[idx], valid)
+
+        return jax.vmap(per_image)(logits, deltas, batch.image_sizes)
+
+    def __call__(self, batch: DetBatch, rng: jax.Array):
+        return self.losses(batch, rng)
