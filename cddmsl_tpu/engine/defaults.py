@@ -111,6 +111,57 @@ def build_evaluator(cfg, dataset_name: str):
     raise NotImplementedError(f"evaluator type {ev_type}")
 
 
+def launch(main_func, num_gpus_per_machine=0, num_machines=1, machine_rank=0, dist_url=None, args=()):
+    """CLI-compat shim for the reference engine.launch (launch.py:27): there
+    is no process-per-device spawning — one process drives the mesh — so this
+    simply invokes main."""
+    return main_func(*args)
+
+
+class DefaultPredictor:
+    """Single-image inference convenience (reference defaults.py:253):
+    resizes per cfg.INPUT.MIN/MAX_SIZE_TEST, pads to the test bucket, runs the
+    jitted inference, returns detections in original-image coords."""
+
+    def __init__(self, cfg: CfgNode, trainer: Optional["DefaultTrainer"] = None):
+        self.cfg = cfg
+        self.trainer = trainer or DefaultTrainer(cfg)
+        if trainer is None:
+            self.trainer.resume_or_load(resume=False)
+        from ..data.dataset_mapper import DatasetMapper
+        self.mapper = DatasetMapper(cfg, is_train=False)
+
+    def __call__(self, original_image: np.ndarray):
+        from ..data.build import pad_and_collate
+        from ..data.transforms import ResizeShortestEdge, apply_augmentations
+
+        img, _ = apply_augmentations(
+            [ResizeShortestEdge(self.cfg.INPUT.MIN_SIZE_TEST, self.cfg.INPUT.MAX_SIZE_TEST)],
+            original_image,
+            np.random.RandomState(0),
+        )
+        h, w = img.shape[:2]
+        pad_hw = tuple(self.cfg.TPU.PAD_SIZE_TEST)
+        key = (min(pad_hw), max(pad_hw)) if w >= h else (max(pad_hw), min(pad_hw))
+        batch = pad_and_collate(
+            [{"image": img, "orig_hw": np.asarray(original_image.shape[:2], np.int32),
+              "boxes": np.zeros((0, 4), np.float32), "classes": np.zeros((0,), np.int32)}],
+            key,
+            self.cfg.TPU.MAX_GT_BOXES,
+            with_trgt=False,
+        )
+        det = self.trainer.eval_step(self.trainer.state.params, batch)
+        import jax as _jax
+
+        det = _jax.device_get(det)
+        keep = det.valid[0]
+        return {
+            "boxes": np.asarray(det.boxes[0])[keep],
+            "scores": np.asarray(det.scores[0])[keep],
+            "classes": np.asarray(det.classes[0])[keep],
+        }
+
+
 class DefaultTrainer:
     def __init__(self, cfg: CfgNode):
         register_all()

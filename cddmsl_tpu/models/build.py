@@ -59,12 +59,48 @@ def build_generalized_rcnn(cfg) -> GeneralizedRCNN:
     )
 
 
+@META_ARCH_REGISTRY.register()
+def build_retinanet(cfg):
+    from .retinanet import RetinaNet
+
+    return RetinaNet(
+        num_classes=cfg.MODEL.ROI_HEADS.NUM_CLASSES,
+        depth=cfg.MODEL.RESNETS.DEPTH,
+        pixel_mean=tuple(cfg.MODEL.PIXEL_MEAN),
+        pixel_std=tuple(cfg.MODEL.PIXEL_STD),
+        detections_per_image=cfg.TEST.DETECTIONS_PER_IMAGE,
+        dtype=_dtype(cfg),
+    )
+
+
+@META_ARCH_REGISTRY.register()
+def build_clip_fast_rcnn(cfg):
+    from .backbone.clip_resnet import RESNET_SPECS as _SPECS
+
+    from .clip_rcnn import CLIPFastRCNN
+
+    layers, width = _SPECS[cfg.MODEL.RESNETS.DEPTH]
+    return CLIPFastRCNN(
+        backbone_layers=tuple(layers),
+        backbone_width=width,
+        embed_dim=EMBED_DIMS[cfg.MODEL.RESNETS.DEPTH],
+        num_classes=cfg.MODEL.ROI_HEADS.NUM_CLASSES,
+        offline_rpn_nms_thresh=cfg.MODEL.CLIP.OFFLINE_RPN_NMS_THRESH,
+        temperature=cfg.MODEL.CLIP.CLSS_TEMP,
+        pixel_mean=tuple(cfg.MODEL.PIXEL_MEAN),
+        pixel_std=tuple(cfg.MODEL.PIXEL_STD),
+        dtype=_dtype(cfg),
+    )
+
+
 def build_model(cfg):
     """cfg.MODEL.META_ARCHITECTURE -> flax module (params are created
     separately with module.init — JAX models are pure functions)."""
     name = cfg.MODEL.META_ARCHITECTURE
     builder = {
         "GeneralizedRCNN": build_generalized_rcnn,
+        "RetinaNet": build_retinanet,
+        "CLIPFastRCNN": build_clip_fast_rcnn,
     }.get(name)
     if builder is None:
         if name in META_ARCH_REGISTRY:

@@ -1,0 +1,96 @@
+"""Mask R-CNN mask head (reference detectron2/modeling/roi_heads/
+mask_head.py:292 MaskRCNNConvUpsampleHead + mask_rcnn_loss/inference):
+4 convs + deconv + 1x1 predictor over pooled FG regions, per-class BCE
+against boxes-cropped GT masks, sigmoid inference. Supports
+cfg.MODEL.MASK_ON parity (CDDMSL itself runs MASK_ON=False)."""
+
+from typing import Any, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+class MaskRCNNConvUpsampleHead(nn.Module):
+    num_classes: int
+    conv_dims: Sequence[int] = (256, 256, 256, 256)
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        """x: (N, P, P, C) pooled features -> (N, 2P, 2P, num_classes) logits."""
+        x = x.astype(self.dtype)
+        for i, c in enumerate(self.conv_dims):
+            x = nn.relu(
+                nn.Conv(c, (3, 3), padding=1, dtype=self.dtype, param_dtype=jnp.float32, name=f"mask_fcn{i+1}")(x)
+            )
+        x = nn.relu(
+            nn.ConvTranspose(self.conv_dims[-1], (2, 2), strides=(2, 2), dtype=self.dtype,
+                             param_dtype=jnp.float32, name="deconv")(x)
+        )
+        return nn.Conv(self.num_classes, (1, 1), dtype=self.dtype, param_dtype=jnp.float32, name="predictor")(
+            x
+        ).astype(jnp.float32)
+
+
+def mask_rcnn_loss(
+    mask_logits: jnp.ndarray,  # (N, M, M, K)
+    gt_masks_cropped: jnp.ndarray,  # (N, M, M) {0,1} GT rasterized in box coords
+    gt_classes: jnp.ndarray,  # (N,)
+    fg_valid: jnp.ndarray,  # (N,)
+) -> jnp.ndarray:
+    """Per-class BCE over FG regions (reference mask_head.py mask_rcnn_loss)."""
+    n = mask_logits.shape[0]
+    cls = jnp.clip(gt_classes, 0, mask_logits.shape[-1] - 1)
+    logit = jnp.take_along_axis(mask_logits, cls[:, None, None, None], axis=-1)[..., 0]
+    t = gt_masks_cropped.astype(jnp.float32)
+    bce = jnp.maximum(logit, 0) - logit * t + jnp.log1p(jnp.exp(-jnp.abs(logit)))
+    per = jnp.mean(bce, axis=(1, 2))
+    w = fg_valid.astype(jnp.float32)
+    return jnp.sum(per * w) / jnp.maximum(jnp.sum(w), 1.0)
+
+
+def mask_rcnn_inference(mask_logits: jnp.ndarray, pred_classes: jnp.ndarray) -> jnp.ndarray:
+    """Select the predicted class channel, sigmoid (reference
+    mask_head.py mask_rcnn_inference). (N, M, M, K), (N,) -> (N, M, M)."""
+    cls = jnp.clip(pred_classes, 0, mask_logits.shape[-1] - 1)
+    sel = jnp.take_along_axis(mask_logits, cls[:, None, None, None], axis=-1)[..., 0]
+    return jax.nn.sigmoid(sel)
+
+
+def paste_masks_in_image(
+    masks: jnp.ndarray,  # (N, M, M) probabilities
+    boxes: jnp.ndarray,  # (N, 4)
+    image_hw: Tuple[int, int],
+    threshold: float = 0.5,
+) -> jnp.ndarray:
+    """Paste box-space masks into image space (reference layers/mask_ops.py
+    paste_masks_in_image) via inverse bilinear sampling — static shapes."""
+    H, W = image_hw
+    n, m, _ = masks.shape
+
+    def one(mask, box):
+        x1, y1, x2, y2 = box[0], box[1], box[2], box[3]
+        w = jnp.maximum(x2 - x1, 1e-3)
+        h = jnp.maximum(y2 - y1, 1e-3)
+        ys = (jnp.arange(H) + 0.5 - y1) / h * m - 0.5
+        xs = (jnp.arange(W) + 0.5 - x1) / w * m - 0.5
+        yy = jnp.clip(ys, 0, m - 1)
+        xx = jnp.clip(xs, 0, m - 1)
+        y0 = jnp.floor(yy).astype(jnp.int32)
+        x0 = jnp.floor(xx).astype(jnp.int32)
+        y1i = jnp.minimum(y0 + 1, m - 1)
+        x1i = jnp.minimum(x0 + 1, m - 1)
+        ly = (yy - y0)[:, None]
+        lx = (xx - x0)[None, :]
+        v = (
+            mask[y0][:, x0] * (1 - ly) * (1 - lx)
+            + mask[y0][:, x1i] * (1 - ly) * lx
+            + mask[y1i][:, x0] * ly * (1 - lx)
+            + mask[y1i][:, x1i] * ly * lx
+        )
+        inside = ((jnp.arange(H)[:, None] + 0.5 >= y1) & (jnp.arange(H)[:, None] + 0.5 <= y2)
+                  & (jnp.arange(W)[None, :] + 0.5 >= x1) & (jnp.arange(W)[None, :] + 0.5 <= x2))
+        return (v > threshold) & inside
+
+    return jax.vmap(one)(masks, boxes)

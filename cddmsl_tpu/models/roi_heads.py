@@ -232,3 +232,85 @@ class CLIPRes5ROIHeads(nn.Module):
         f_src = self._region_embed(features_src, boxes, res5_fn, attnpool_fn)
         f_trgt = self._region_embed(features_trgt, boxes, res5_fn, attnpool_fn)
         return f_src, f_trgt
+
+
+class CLIPStandardROIHeads(nn.Module):
+    """FPN-variant RoI heads (reference clip_roi_heads.py:309-578): pool 7x7
+    from p2-p5 with level assignment, a 2-FC box head, and the same
+    text-embedding classifier. Used with FPN backbones; the CDDMSL recipes
+    use the C4 heads above."""
+
+    num_classes: int = 80
+    batch_size_per_image: int = 512
+    positive_fraction: float = 0.25
+    proposal_append_gt: bool = True
+    only_sample_fg: bool = False
+    pooler_resolution: int = 7
+    pooler_scales: Sequence[float] = (1 / 4, 1 / 8, 1 / 16, 1 / 32)
+    fc_dim: int = 1024
+    use_text_emb: bool = True
+    emb_dim: int = 1024
+    temperature: float = 0.01
+    score_thresh_test: float = 0.05
+    nms_thresh_test: float = 0.5
+    detections_per_image: int = 100
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        from .poolers import ROIPooler
+
+        self.pooler = ROIPooler(
+            self.pooler_resolution, self.pooler_scales, sampling_ratio=0, min_level=2
+        )
+        self.box_head_fc1 = nn.Dense(self.fc_dim, dtype=self.dtype, param_dtype=jnp.float32)
+        self.box_head_fc2 = nn.Dense(self.emb_dim, dtype=self.dtype, param_dtype=jnp.float32)
+        self.box_predictor = FastRCNNOutputLayers(
+            num_classes=self.num_classes,
+            input_size=self.emb_dim,
+            use_text_emb=self.use_text_emb,
+            temperature=self.temperature,
+            dtype=self.dtype,
+        )
+        self.box2box = Box2BoxTransform((10.0, 10.0, 5.0, 5.0))
+        self.matcher = Matcher((0.5,), (0, 1), allow_low_quality_matches=False)
+
+    def _box_features(self, fpn_feats, boxes):
+        """fpn_feats: list of (B, H_l, W_l, C); boxes (B, S, 4) -> (B*S, D)."""
+        b, s = boxes.shape[:2]
+        pooled = jax.vmap(lambda *per_img: self.pooler(list(per_img[:-1]), per_img[-1]))(
+            *fpn_feats, boxes
+        )
+        x = pooled.reshape(b * s, -1)
+        x = nn.relu(self.box_head_fc1(x.astype(self.dtype)))
+        return nn.relu(self.box_head_fc2(x))
+
+    def __call__(self, fpn_feats, proposals: Proposals, image_sizes, training: bool,
+                 gt_boxes=None, gt_classes=None, gt_valid=None, rng=None):
+        if training:
+            boxes, classes, matched_gt, valid = CLIPRes5ROIHeads.label_and_sample_proposals(
+                self, rng, proposals, gt_boxes, gt_classes, gt_valid
+            )
+            feats = self._box_features(fpn_feats, boxes)
+            scores, deltas = self.box_predictor(feats)
+            b, s = boxes.shape[:2]
+            losses = fast_rcnn_losses(
+                scores, deltas, boxes.reshape(b * s, 4), matched_gt.reshape(b * s, 4),
+                classes.reshape(b * s), valid.reshape(b * s),
+                self.num_classes, self.box2box,
+            )
+            return None, losses
+        feats = self._box_features(fpn_feats, proposals.boxes)
+        b, k = proposals.boxes.shape[:2]
+        scores_d, deltas_d = self.box_predictor(feats)
+        scores = scores_d.reshape(b, k, -1)
+        deltas = deltas_d.reshape(b, k, -1)
+
+        def per_image(sc, dl, pb, pv, hw):
+            return fast_rcnn_inference_single_image(
+                sc, dl, pb, pv, hw, self.box2box, self.num_classes,
+                score_thresh=self.score_thresh_test,
+                nms_thresh=self.nms_thresh_test,
+                topk_per_image=self.detections_per_image,
+            )
+
+        return jax.vmap(per_image)(scores, deltas, proposals.boxes, proposals.valid, image_sizes), {}
