@@ -37,10 +37,6 @@ from .rpn import Proposals
 from .sampling import gather_selected, subsample_labels
 
 
-class SampledProposals(Tuple):
-    pass
-
-
 class CLIPRes5ROIHeads(nn.Module):
     num_classes: int = 20
     batch_size_per_image: int = 512

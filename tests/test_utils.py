@@ -108,3 +108,29 @@ def test_rampups():
     assert exp_rampup(0, 100) == pytest.approx(np.exp(-5))
     assert exp_rampup(100, 100) == 1.0
     assert linear_rampup(50, 100) == 0.5
+
+
+def test_clip_img_txt_tsv_dataset(tmp_path):
+    import base64
+    import io
+
+    from PIL import Image
+
+    from cddmsl_tpu.data.clip_datasets import CLIPImgTxtPairTSVDataset
+
+    img_tsv = str(tmp_path / "img.tsv")
+    txt_tsv = str(tmp_path / "txt.tsv")
+    with open(img_tsv, "w") as fi, open(txt_tsv, "w") as ft:
+        for i in range(3):
+            buf = io.BytesIO()
+            Image.new("RGB", (8 + i, 10), color=(i * 10, 0, 0)).save(buf, format="JPEG")
+            fi.write(f"k{i}\t{base64.b64encode(buf.getvalue()).decode()}\n")
+            ft.write(f'k{i}\t{{"captions": ["caption {i}"]}}\n')
+    ds = CLIPImgTxtPairTSVDataset([img_tsv], [txt_tsv])
+    assert len(ds) == 3
+    img, cap = ds[1]
+    assert img.shape == (10, 9, 3)
+    assert cap == "caption 1"
+    batch_imgs, caps = next(ds.batches(2, image_size=16))
+    assert batch_imgs.shape == (2, 16, 16, 3)
+    assert len(caps) == 2
