@@ -258,6 +258,7 @@ def get_default_cfg() -> CfgNode:
     _C.TPU.V2L_IMAGE_SIZE = 224
     _C.TPU.ENABLE_CAPTION_CONSISTENCY = True
     _C.TPU.REMAT_BACKBONE = True  # jax.checkpoint on bottleneck blocks
+    _C.TPU.PALLAS_ROI_ALIGN = False  # experimental fused-VMEM kernel (docs/PERF.md)
 
     # ---------------- VIS / MISC ----------------
     _C.VIS_PERIOD = 0

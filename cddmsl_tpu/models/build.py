@@ -55,6 +55,7 @@ def build_generalized_rcnn(cfg) -> GeneralizedRCNN:
         region_consistency_boxes=cfg.TPU.REGION_CONSISTENCY_BOXES,
         v2l_image_size=cfg.TPU.V2L_IMAGE_SIZE,
         backbone_remat=cfg.TPU.REMAT_BACKBONE,
+        use_pallas_roi_align=cfg.TPU.PALLAS_ROI_ALIGN,
         dtype=_dtype(cfg),
     )
 

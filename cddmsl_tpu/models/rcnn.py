@@ -111,6 +111,7 @@ class GeneralizedRCNN(nn.Module):
     region_consistency_boxes: int = 16
     v2l_image_size: int = 224
     backbone_remat: bool = False
+    use_pallas_roi_align: bool = False
     dtype: Any = jnp.float32
 
     def setup(self):
@@ -159,6 +160,7 @@ class GeneralizedRCNN(nn.Module):
             score_thresh_test=self.score_thresh_test,
             nms_thresh_test=self.nms_thresh_test,
             detections_per_image=self.detections_per_image,
+            use_pallas_roi_align=self.use_pallas_roi_align,
             dtype=self.dtype,
         )
         # frozen ClipCap mapper (v2l), loaded from VISION_TO_LANG_PATH

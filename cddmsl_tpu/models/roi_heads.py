@@ -60,6 +60,7 @@ class CLIPRes5ROIHeads(nn.Module):
     nms_thresh_test: float = 0.5
     detections_per_image: int = 100
     only_sample_fg: bool = False
+    use_pallas_roi_align: bool = False  # experimental: ops/pallas kernel
     dtype: Any = jnp.float32
 
     def setup(self):
@@ -131,18 +132,22 @@ class CLIPRes5ROIHeads(nn.Module):
         would otherwise be saved for backward (~GBs at 512 ROIs/img);
         recomputing the pooling is far cheaper than holding it."""
 
+        if self.use_pallas_roi_align:
+            from ..ops.pallas.roi_align_pallas import roi_align_pallas
+
+            align = lambda fi, bi: roi_align_pallas(
+                fi, bi, (self.pooler_resolution, self.pooler_resolution),
+                self.pooler_scale, self.pooler_sampling_ratio,
+            )
+        else:
+            align = lambda fi, bi: roi_align(
+                fi, bi, (self.pooler_resolution, self.pooler_resolution),
+                self.pooler_scale, self.pooler_sampling_ratio, True,
+            )
+
         @jax.checkpoint
         def _pool(f, bx):
-            return jax.vmap(
-                lambda fi, bi: roi_align(
-                    fi,
-                    bi,
-                    (self.pooler_resolution, self.pooler_resolution),
-                    self.pooler_scale,
-                    self.pooler_sampling_ratio,
-                    True,
-                )
-            )(f, bx)
+            return jax.vmap(align)(f, bx)
 
         pooled = _pool(features, boxes)
         b, s = boxes.shape[:2]
