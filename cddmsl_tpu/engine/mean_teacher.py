@@ -112,6 +112,13 @@ class MeanTeacherTrainer(DefaultTrainer):
         self.mt_step = self._make_step()
 
     def resume_or_load(self, resume: bool = True):
+        if resume and self.checkpointer.has_checkpoint():
+            # native checkpoints of this trainer are MTState-shaped
+            self.mt_state = self.checkpointer.load_native(
+                self.checkpointer.get_checkpoint_file(), self.mt_state
+            )
+            self.start_iter = int(jax.device_get(self.mt_state.step))
+            return
         super().resume_or_load(resume)
         self.mt_state = self.mt_state.replace(
             params=self.state.params,
