@@ -50,7 +50,11 @@ def main():
             rng = jax.random.PRNGKey(0)
             init_batch = _synthetic_batch(1, 128, 160)
             t0 = time.time()
-            params = model.init({"params": rng}, init_batch, rng, method=model.init_all)
+            # jit the init: eager flax init dispatches op-by-op, which over
+            # the axon TPU tunnel costs a network round trip per op (~8 min)
+            params = jax.jit(
+                lambda r, b: model.init({"params": r}, b, r, method=model.init_all)
+            )(rng, init_batch)
             log(f"init done in {time.time()-t0:.1f}s")
             optimizer = build_optimizer(cfg, params)
             state = TrainState.create(params, optimizer)

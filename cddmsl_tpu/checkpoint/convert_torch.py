@@ -228,19 +228,94 @@ def convert_rpn_head(sd: Dict[str, np.ndarray], src_prefix: str = "proposal_gene
     return tree
 
 
-def convert_box_predictor(sd: Dict[str, np.ndarray], src_prefix: str = "roi_heads.box_predictor.") -> Dict[str, Any]:
+def convert_box_predictor(
+    sd: Dict[str, np.ndarray],
+    src_prefix: str = "roi_heads.box_predictor.",
+    num_classes: Optional[int] = None,
+) -> Dict[str, Any]:
+    """When `num_classes` is given, applies the reference's background-row
+    surgery (clip_model_loading.py:160-185) to checkpoints that carry a
+    background class: cls_score with K+1 rows and bg at index 0 loses that
+    row (this model's bg logit is an implicit zero embedding), and bbox_pred
+    with (K+1)*4 outputs loses the first 4 (bg deltas)."""
     tree: Dict[str, Any] = {}
     for key, val in sd.items():
         if not key.startswith(src_prefix):
             continue
         k = key[len(src_prefix):]
         if k == "cls_score.weight":
+            if num_classes is not None and val.shape[0] == num_classes + 1:
+                logger.info("bg-row surgery: cls_score %s -> dropping bg row 0", val.shape)
+                val = val[1:]
             _set(tree, ("box_predictor", "cls_score_weight"), val)  # (K, D), no transpose
         elif k == "bbox_pred.weight":
+            if num_classes is not None and val.shape[0] == (num_classes + 1) * 4:
+                logger.info("bg-row surgery: bbox_pred %s -> dropping bg deltas", val.shape)
+                val = val[4:]
             _set(tree, ("box_predictor", "bbox_pred", "kernel"), _dense(val))
         elif k == "bbox_pred.bias":
+            if num_classes is not None and val.shape[0] == (num_classes + 1) * 4:
+                val = val[4:]
             _set(tree, ("box_predictor", "bbox_pred", "bias"), val)
     return tree
+
+
+def convert_d2_resnet(sd: Dict[str, np.ndarray], src_prefix: str = "backbone.") -> Dict[str, Any]:
+    """torch d2 ResNet ('backbone.stem.conv1.*', 'backbone.res2.0.conv1.*',
+    shortcut/norm naming — reference modeling/backbone/resnet.py) -> flax
+    D2ResNet params (stem_conv1/stem_bn1, res{s}_{i} blocks)."""
+    tree: Dict[str, Any] = {}
+    for key, val in sd.items():
+        if not key.startswith(src_prefix):
+            continue
+        k = key[len(src_prefix):]
+        m = re.match(r"^stem\.conv1\.weight$", k)
+        if m:
+            _set(tree, ("stem_conv1", "kernel"), _conv(val))
+            continue
+        m = re.match(r"^stem\.conv1\.norm\.(\w+)$", k)
+        if m and m.group(1) in _BN_MAP:
+            _set(tree, ("stem_bn1", _BN_MAP[m.group(1)]), val)
+            continue
+        m = re.match(r"^res(\d)\.(\d+)\.(.+)$", k)
+        if not m:
+            continue
+        blk = f"res{m.group(1)}_{m.group(2)}"
+        rest = m.group(3)
+        m2 = re.match(r"^(conv[123])\.weight$", rest)
+        if m2:
+            _set(tree, (blk, m2.group(1), "kernel"), _conv(val))
+            continue
+        m2 = re.match(r"^(conv[123])\.norm\.(\w+)$", rest)
+        if m2 and m2.group(2) in _BN_MAP:
+            _set(tree, (blk, "bn" + m2.group(1)[-1], _BN_MAP[m2.group(2)]), val)
+            continue
+        m2 = re.match(r"^shortcut\.weight$", rest)
+        if m2:
+            _set(tree, (blk, "shortcut", "kernel"), _conv(val))
+            continue
+        m2 = re.match(r"^shortcut\.norm\.(\w+)$", rest)
+        if m2 and m2.group(1) in _BN_MAP:
+            _set(tree, (blk, "shortcut_bn", _BN_MAP[m2.group(1)]), val)
+            continue
+    return tree
+
+
+def load_bb_rpn_weights(params: Dict[str, Any], path: str) -> Dict[str, Any]:
+    """Second checkpoint for the FROZEN offline backbone + RPN of
+    CLIPFastRCNN (reference clip_model_loading.py:216 bb_rpn_weights branch +
+    engine/defaults.py:393-399 second_checkpointer): 'backbone.*' ->
+    offline_backbone, 'proposal_generator.*' -> offline_proposal_generator."""
+    import jax
+
+    sd = load_torch_state_dict(path)
+    new = jax.tree_util.tree_map(lambda x: np.asarray(x), params)
+    tree = new["params"] if "params" in new else new
+    assert "offline_backbone" in tree, "model has no offline_backbone (bb_rpn_weights needs CLIPFastRCNN-style arch)"
+    _merge(tree["offline_backbone"], convert_d2_resnet(sd, "backbone."))
+    if "offline_proposal_generator" in tree:
+        _merge(tree["offline_proposal_generator"], convert_rpn_head(sd, "proposal_generator.rpn_head."))
+    return new
 
 
 def detect_dialect(sd: Dict[str, np.ndarray]) -> str:
@@ -277,20 +352,36 @@ def load_rcnn_weights(params: Dict[str, Any], path: str) -> Dict[str, Any]:
     new = jax.tree_util.tree_map(lambda x: np.asarray(x), params)
     tree = new["params"] if "params" in new else new
 
+    def _num_classes():
+        try:
+            return int(tree["roi_heads"]["box_predictor"]["cls_score_weight"].shape[0])
+        except Exception:
+            return None
+
     if dialect == "oai_clip":
         vis = convert_clip_visual(sd, "visual.")
         _merge(tree["backbone"], vis)
         if "offline_backbone" in tree:
             _merge(tree["offline_backbone"], vis)
+        # OAI-CLIP full checkpoints also carry the text tower
+        if "lang_encoder" in tree and any(k.startswith("transformer.") for k in sd):
+            _merge(tree["lang_encoder"], convert_clip_text(sd, ""))
     elif dialect == "d2_rcnn":
         vis = convert_clip_visual(sd, "backbone.")
         _merge(tree["backbone"], vis)
         if "offline_backbone" in tree:
             _merge(tree["offline_backbone"], vis)
         _merge(tree["proposal_generator"], convert_rpn_head(sd))
-        _merge(tree["roi_heads"], convert_box_predictor(sd))
+        _merge(tree["roi_heads"], convert_box_predictor(sd, num_classes=_num_classes()))
+        if "lang_encoder" in tree and any(k.startswith("lang_encoder.") for k in sd):
+            _merge(tree["lang_encoder"], convert_clip_text(sd, "lang_encoder."))
     elif dialect == "clipcap":
         _merge(tree["v2l_mapper"], convert_clipcap_mapper(sd))
+    elif dialect == "lang":
+        # RegionCLIP language-encoder checkpoints (reference
+        # clip_model_loading.py 'lang_encoder.' renames)
+        assert "lang_encoder" in tree, "model has no lang_encoder submodule for a lang checkpoint"
+        _merge(tree["lang_encoder"], convert_clip_text(sd, "lang_encoder."))
     else:
         raise ValueError(f"Cannot detect checkpoint dialect of {path}")
     return new

@@ -126,6 +126,17 @@ def get_default_cfg() -> CfgNode:
     _C.MODEL.ROI_BOX_HEAD.CLS_AGNOSTIC_BBOX_REG = False
     _C.MODEL.ROI_BOX_HEAD.TRAIN_ON_PRED_BOXES = False
 
+    # ---------------- MODEL.ROI_MASK_HEAD (reference defaults.py:460-470) ----------------
+    _C.MODEL.ROI_MASK_HEAD = CfgNode()
+    _C.MODEL.ROI_MASK_HEAD.NAME = "MaskRCNNConvUpsampleHead"
+    _C.MODEL.ROI_MASK_HEAD.POOLER_RESOLUTION = 14
+    _C.MODEL.ROI_MASK_HEAD.POOLER_SAMPLING_RATIO = 0
+    _C.MODEL.ROI_MASK_HEAD.NUM_CONV = 0  # 0 for C4 (deconv+predictor only)
+    _C.MODEL.ROI_MASK_HEAD.CONV_DIM = 256
+    _C.MODEL.ROI_MASK_HEAD.NORM = ""
+    _C.MODEL.ROI_MASK_HEAD.CLS_AGNOSTIC_MASK = False
+    _C.MODEL.ROI_MASK_HEAD.POOLER_TYPE = "ROIAlignV2"
+
     # ---------------- MODEL.CLIP (reference defaults.py:195-238) ----------------
     _C.MODEL.CLIP = CfgNode()
     _C.MODEL.CLIP.CROP_REGION_TYPE = "RPN"
@@ -153,6 +164,13 @@ def get_default_cfg() -> CfgNode:
     _C.MODEL.CLIP.CONCEPT_POOL_EMB = None
     _C.MODEL.CLIP.CONCEPT_THRES = None
     _C.MODEL.CLIP.OFFLINE_RPN_LSJ_PRETRAINED = False
+    # pretraining text tower (reference clip_backbone.py:732-814 dims)
+    _C.MODEL.CLIP.PRETRAIN_NUM_CONCEPTS = 1000
+    _C.MODEL.CLIP.TEXT_VOCAB_SIZE = 49408
+    _C.MODEL.CLIP.TEXT_CONTEXT_LENGTH = 77
+    _C.MODEL.CLIP.TEXT_WIDTH = 512
+    _C.MODEL.CLIP.TEXT_HEADS = 8
+    _C.MODEL.CLIP.TEXT_LAYERS = 12
     _C.MODEL.CLIP.TEACHER_RESNETS_DEPTH = 50
     _C.MODEL.CLIP.TEACHER_CONCEPT_POOL_EMB = None
     _C.MODEL.CLIP.TEACHER_POOLER_RESOLUTION = 14
@@ -259,6 +277,17 @@ def get_default_cfg() -> CfgNode:
     _C.TPU.ENABLE_CAPTION_CONSISTENCY = True
     _C.TPU.REMAT_BACKBONE = True  # jax.checkpoint on bottleneck blocks
     _C.TPU.PALLAS_ROI_ALIGN = False  # experimental fused-VMEM kernel (docs/PERF.md)
+    # compile-light overrides for tests / the CPU multichip dryrun: shrink the
+    # network (not just the proposal counts) so a cold-cache CPU compile of
+    # the full CDDMSL step finishes in seconds. Empty/0 = derive from
+    # MODEL.RESNETS.DEPTH as usual.
+    _C.TPU.BACKBONE_LAYERS = []    # blocks per stage, e.g. [1, 1, 1, 1]
+    _C.TPU.BACKBONE_WIDTH = 0      # stem width, e.g. 16
+    _C.TPU.EMBED_DIM = 0           # CLIP embed dim, e.g. 128
+    _C.TPU.V2L_MAPPER_LAYERS = 8   # ClipCap TransformerMapper depth
+    _C.TPU.V2L_MAPPER_TOKENS = 40  # ClipCap prefix/clip length
+    _C.TPU.FAST_INIT = False       # eval_shape param fill instead of real init
+    _C.TPU.MASK_CANVAS_STRIDE = 4  # GT bitmask canvas downsample (MASK_ON)
 
     # ---------------- VIS / MISC ----------------
     _C.VIS_PERIOD = 0

@@ -60,6 +60,45 @@ class TrainingSampler:
                 yield from range(self.size)
 
 
+class RepeatFactorTrainingSampler:
+    """Class-frequency rebalancing sampler (reference
+    data/samplers/distributed_sampler.py:57 RepeatFactorTrainingSampler, the
+    LVIS recipe): image repeat factor = max over its categories of
+    max(1, sqrt(t / f(c))) where f(c) is the fraction of images containing
+    category c; the fractional part is realized by stochastic rounding each
+    epoch."""
+
+    def __init__(self, dataset_dicts: List[dict], repeat_thresh: float, seed: int = 0):
+        self.seed = seed
+        # f(c): fraction of images containing each category
+        from collections import Counter, defaultdict
+
+        counts: Counter = Counter()
+        n = len(dataset_dicts)
+        per_image_cats = []
+        for d in dataset_dicts:
+            cats = {a["category_id"] for a in d.get("annotations", [])}
+            per_image_cats.append(cats)
+            counts.update(cats)
+        rep_cat = {
+            c: max(1.0, np.sqrt(repeat_thresh / (cnt / n))) for c, cnt in counts.items()
+        }
+        self._rep = np.asarray(
+            [max([rep_cat[c] for c in cats], default=1.0) for cats in per_image_cats],
+            np.float64,
+        )
+
+    def __iter__(self) -> Iterator[int]:
+        g = np.random.RandomState(self.seed)
+        n = len(self._rep)
+        while True:
+            # stochastic rounding of the fractional repeat factors
+            rands = g.rand(n)
+            rep = np.floor(self._rep) + (rands < (self._rep - np.floor(self._rep)))
+            indices = np.repeat(np.arange(n), rep.astype(np.int64))
+            yield from g.permutation(indices).tolist()
+
+
 class InferenceSampler:
     def __init__(self, size: int):
         self.size = size
@@ -69,11 +108,33 @@ class InferenceSampler:
 
 
 # ---------------- collation ----------------
+def rasterize_polygons(
+    polygons: List[List[np.ndarray]], hw: Tuple[int, int], stride: int
+) -> np.ndarray:
+    """Per-instance polygon rings (image coords) -> (N, H/stride, W/stride)
+    {0,1} bitmasks (PolygonMasks rasterization; reference structures/masks.py
+    polygons_to_bitmask — here PIL instead of pycocotools)."""
+    from PIL import Image, ImageDraw
+
+    h, w = max(1, hw[0] // stride), max(1, hw[1] // stride)
+    out = np.zeros((len(polygons), h, w), np.float32)
+    for i, rings in enumerate(polygons):
+        img = Image.new("L", (w, h), 0)
+        draw = ImageDraw.Draw(img)
+        for ring in rings:
+            pts = [(float(x) / stride, float(y) / stride) for x, y in ring]
+            if len(pts) >= 3:
+                draw.polygon(pts, fill=1)
+        out[i] = np.asarray(img, np.float32)
+    return out
+
+
 def pad_and_collate(
     samples: List[dict],
     pad_hw: Tuple[int, int],
     max_gt: int = 100,
     with_trgt: bool = True,
+    mask_stride: int = 0,
 ) -> DetBatch:
     b = len(samples)
     H, W = pad_hw
@@ -84,6 +145,11 @@ def pad_and_collate(
     gt_boxes = np.zeros((b, max_gt, 4), np.float32)
     gt_classes = np.zeros((b, max_gt), np.int32)
     gt_valid = np.zeros((b, max_gt), bool)
+    gt_masks = (
+        np.zeros((b, max_gt, max(1, H // mask_stride), max(1, W // mask_stride)), np.float32)
+        if mask_stride
+        else None
+    )
     for i, s in enumerate(samples):
         img = s["image"]
         h, w = img.shape[:2]
@@ -99,6 +165,9 @@ def pad_and_collate(
             gt_boxes[i, :n] = s["boxes"][:n]
             gt_classes[i, :n] = s["classes"][:n]
             gt_valid[i, :n] = True
+            if gt_masks is not None and s.get("polygons"):
+                # rasterize in the PADDED canvas so box coords line up
+                gt_masks[i, :n] = rasterize_polygons(s["polygons"][:n], (H, W), mask_stride)
     import jax.numpy as jnp
 
     return DetBatch(
@@ -109,6 +178,7 @@ def pad_and_collate(
         gt_classes=jnp.asarray(gt_classes),
         gt_valid=jnp.asarray(gt_valid),
         image_trgt=jnp.asarray(images_t) if with_trgt else None,
+        gt_masks=jnp.asarray(gt_masks) if gt_masks is not None else None,
     )
 
 
@@ -156,10 +226,14 @@ def build_detection_train_loader(
         cfg.DATASETS.TRAIN, cfg.DATALOADER.FILTER_EMPTY_ANNOTATIONS
     )
     mapper = mapper or DatasetMapper(cfg, is_train=True)
-    sampler = TrainingSampler(len(dicts), seed=seed)
+    if cfg.DATALOADER.SAMPLER_TRAIN == "RepeatFactorTrainingSampler":
+        sampler = RepeatFactorTrainingSampler(dicts, cfg.DATALOADER.REPEAT_THRESHOLD, seed=seed)
+    else:
+        sampler = TrainingSampler(len(dicts), seed=seed)
     batch_size = cfg.SOLVER.IMS_PER_BATCH
     pad_hw = tuple(cfg.TPU.PAD_SIZE_TRAIN)
     max_gt = cfg.TPU.MAX_GT_BOXES
+    mask_stride = cfg.TPU.MASK_CANVAS_STRIDE if cfg.MODEL.MASK_ON else 0
     aspect_grouping = cfg.DATALOADER.ASPECT_RATIO_GROUPING
 
     def gen():
@@ -171,7 +245,7 @@ def build_detection_train_loader(
             buckets.setdefault(key, []).append(sample)
             if len(buckets[key]) == batch_size:
                 group, buckets[key] = buckets[key], []
-                yield pad_and_collate(group, key, max_gt, with_trgt=True)
+                yield pad_and_collate(group, key, max_gt, with_trgt=True, mask_stride=mask_stride)
 
     return iter(_Prefetcher(gen, depth=cfg.DATALOADER.NUM_WORKERS))
 
@@ -196,7 +270,8 @@ def build_detection_test_loader(
         # group by orientation to keep two static shapes
         groups = {}
         metas = {}
-        for d in dicts:
+        for i in InferenceSampler(len(dicts)):
+            d = dicts[i]
             sample = mapper(d, rng)
             key = _bucket_for(sample, pad_hw)
             groups.setdefault(key, []).append(sample)
@@ -265,26 +340,28 @@ def build_semisup_train_loader_two_crops(cfg, seed: int = 0):
         rng = np.random.RandomState(seed + 1)
         lab_it = iter(TrainingSampler(len(label_dicts), seed=seed))
         unl_it = iter(TrainingSampler(len(unlabel_dicts), seed=seed + 7))
-        # fixed landscape bucket for simplicity of the 4-stream alignment
-        key = (min(pad_hw), max(pad_hw))
 
-        def take(dicts_, it, n):
-            strong, weak = [], []
-            while len(strong) < n:
+        def take(dicts_, it, n, buckets):
+            """Accumulate (strong, weak) pairs per orientation bucket; return
+            the first bucket that fills. Portrait images get the transposed
+            pad shape instead of being dropped (reference common.py:235 keeps
+            both orientations; round-1 dropped portrait — a data bias)."""
+            while True:
                 s, w = mapper(dicts_[next(it)], rng)
-                sh, sw = s["image"].shape[:2]
-                if sw < sh:  # rotate portrait into the landscape bucket domain
-                    continue
-                strong.append(s)
-                weak.append(w)
-            return strong, weak
+                key = _bucket_for(s, pad_hw)
+                pairs = buckets.setdefault(key, [])
+                pairs.append((s, w))
+                if len(pairs) == n:
+                    del buckets[key]
+                    return key, [p[0] for p in pairs], [p[1] for p in pairs]
 
+        lab_buckets, unl_buckets = {}, {}
         while True:
-            ls, lw = take(label_dicts, lab_it, bs_label)
-            us, uw = take(unlabel_dicts, unl_it, bs_unlabel)
+            key_l, ls, lw = take(label_dicts, lab_it, bs_label, lab_buckets)
+            key_u, us, uw = take(unlabel_dicts, unl_it, bs_unlabel, unl_buckets)
             yield (
-                (pad_and_collate(ls, key, max_gt), pad_and_collate(lw, key, max_gt)),
-                (pad_and_collate(us, key, max_gt), pad_and_collate(uw, key, max_gt)),
+                (pad_and_collate(ls, key_l, max_gt), pad_and_collate(lw, key_l, max_gt)),
+                (pad_and_collate(us, key_u, max_gt), pad_and_collate(uw, key_u, max_gt)),
             )
 
     return iter(_Prefetcher(gen, depth=cfg.DATALOADER.NUM_WORKERS))

@@ -24,8 +24,9 @@ CONTEXT_LENGTH = 77
 def default_bpe_path() -> str:
     cands = [
         os.environ.get("CLIP_BPE_PATH", ""),
+        # vendored copy of the public OpenAI-CLIP vocabulary data file
+        os.path.join(os.path.dirname(__file__), "bpe_simple_vocab_16e6.txt.gz"),
         os.path.join(os.environ.get("DETECTRON2_DATASETS", "datasets"), "bpe_simple_vocab_16e6.txt.gz"),
-        "/root/reference/detectron2/data/datasets/bpe_simple_vocab_16e6.txt.gz",
     ]
     for c in cands:
         if c and os.path.exists(c):

@@ -30,9 +30,23 @@ def read_image(path: str, fmt: str = "RGB") -> np.ndarray:
     return arr
 
 
-def _transform_annotations(annos: List[dict], tfms, image_hw) -> Dict[str, np.ndarray]:
+def _transform_annotations(
+    annos: List[dict], tfms, image_hw, with_masks: bool = False
+) -> Dict[str, np.ndarray]:
     boxes = np.array([a["bbox"] for a in annos], np.float32).reshape(-1, 4)
     classes = np.array([a["category_id"] for a in annos], np.int32).reshape(-1)
+    polygons = None
+    if with_masks:
+        # per-instance list of (P_i, 2) transformed polygon rings
+        polygons = []
+        for a in annos:
+            segs = a.get("segmentation") or []
+            rings = []
+            for seg in segs if isinstance(segs, list) else []:
+                pts = np.asarray(seg, np.float32).reshape(-1, 2)
+                if len(pts) >= 3:
+                    rings.append(tfms.apply_coords(pts))
+            polygons.append(rings)
     if len(boxes):
         boxes = tfms.apply_box(boxes)
         h, w = image_hw
@@ -40,7 +54,12 @@ def _transform_annotations(annos: List[dict], tfms, image_hw) -> Dict[str, np.nd
         boxes[:, 1::2] = boxes[:, 1::2].clip(0, h)
         keep = (boxes[:, 2] > boxes[:, 0]) & (boxes[:, 3] > boxes[:, 1])
         boxes, classes = boxes[keep], classes[keep]
-    return {"boxes": boxes, "classes": classes}
+        if polygons is not None:
+            polygons = [p for p, k in zip(polygons, keep) if k]
+    out = {"boxes": boxes, "classes": classes}
+    if polygons is not None:
+        out["polygons"] = polygons
+    return out
 
 
 class DatasetMapper:
@@ -80,10 +99,12 @@ class DatasetMapper:
         if "annotations" in d:
             # difficult instances are excluded from training (d2 VOC convention)
             annos = [a for a in d["annotations"] if not (self.is_train and a.get("difficult", 0))]
-            t = _transform_annotations(annos, tfms, hw)
+            t = _transform_annotations(annos, tfms, hw, with_masks=self.use_instance_mask)
             out.update(t)
         else:
             out.update({"boxes": np.zeros((0, 4), np.float32), "classes": np.zeros((0,), np.int32)})
+            if self.use_instance_mask:
+                out["polygons"] = []
         return out
 
 

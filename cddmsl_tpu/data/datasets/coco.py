@@ -46,14 +46,19 @@ def load_coco_json(
             if filter_crowd and ann.get("iscrowd", 0):
                 continue
             x, y, w, h = ann["bbox"]
-            annos.append(
-                {
-                    "category_id": id_map[ann["category_id"]],
-                    "bbox": [x, y, x + w, y + h],
-                    "bbox_mode": "XYXY_ABS",
-                    "iscrowd": ann.get("iscrowd", 0),
-                }
-            )
+            rec = {
+                "category_id": id_map[ann["category_id"]],
+                "bbox": [x, y, x + w, y + h],
+                "bbox_mode": "XYXY_ABS",
+                "iscrowd": ann.get("iscrowd", 0),
+            }
+            seg = ann.get("segmentation")
+            if seg is not None:
+                # polygons: list of [x0,y0,x1,y1,...] lists (RLE dicts are
+                # kept verbatim for the evaluator; the mapper rasterizes
+                # polygons only)
+                rec["segmentation"] = seg
+            annos.append(rec)
         record["annotations"] = annos
         dicts.append(record)
     return dicts

@@ -22,6 +22,10 @@ class Transform:
         """boxes: (N, 4) XYXY float."""
         raise NotImplementedError
 
+    def apply_coords(self, coords: np.ndarray) -> np.ndarray:
+        """coords: (N, 2) float (x, y) points (for polygons/keypoints)."""
+        raise NotImplementedError
+
 
 class NoOpTransform(Transform):
     def apply_image(self, img):
@@ -29,6 +33,9 @@ class NoOpTransform(Transform):
 
     def apply_box(self, boxes):
         return boxes
+
+    def apply_coords(self, coords):
+        return coords
 
 
 class ResizeTransform(Transform):
@@ -47,6 +54,12 @@ class ResizeTransform(Transform):
         boxes[:, 1::2] *= self.new_h / self.h
         return boxes
 
+    def apply_coords(self, coords: np.ndarray) -> np.ndarray:
+        coords = coords.astype(np.float32).copy()
+        coords[:, 0] *= self.new_w / self.w
+        coords[:, 1] *= self.new_h / self.h
+        return coords
+
 
 class HFlipTransform(Transform):
     def __init__(self, width: int):
@@ -62,6 +75,11 @@ class HFlipTransform(Transform):
         boxes[:, 0], boxes[:, 2] = x1, x2
         return boxes
 
+    def apply_coords(self, coords: np.ndarray) -> np.ndarray:
+        coords = coords.astype(np.float32).copy()
+        coords[:, 0] = self.width - coords[:, 0]
+        return coords
+
 
 class CropTransform(Transform):
     def __init__(self, x0: int, y0: int, w: int, h: int):
@@ -75,6 +93,12 @@ class CropTransform(Transform):
         boxes[:, 0::2] -= self.x0
         boxes[:, 1::2] -= self.y0
         return boxes
+
+    def apply_coords(self, coords: np.ndarray) -> np.ndarray:
+        coords = coords.astype(np.float32).copy()
+        coords[:, 0] -= self.x0
+        coords[:, 1] -= self.y0
+        return coords
 
 
 class TransformList(Transform):
@@ -90,6 +114,11 @@ class TransformList(Transform):
         for t in self.transforms:
             boxes = t.apply_box(boxes)
         return boxes
+
+    def apply_coords(self, coords):
+        for t in self.transforms:
+            coords = t.apply_coords(coords)
+        return coords
 
 
 # ---------------- augmentations (random samplers of transforms) ----------------
@@ -143,8 +172,42 @@ class RandomFlip(Augmentation):
         return NoOpTransform()
 
 
+class RandomCrop(Augmentation):
+    """Random sub-crop (reference augmentation_impl.py RandomCrop): crop_type
+    in {relative, relative_range, absolute, absolute_range}."""
+
+    def __init__(self, crop_type: str, crop_size: Sequence[float]):
+        assert crop_type in ("relative", "relative_range", "absolute", "absolute_range"), crop_type
+        self.crop_type = crop_type
+        self.crop_size = tuple(crop_size)
+
+    def _crop_hw(self, h: int, w: int, rng) -> Tuple[int, int]:
+        ch, cw = self.crop_size
+        if self.crop_type == "relative":
+            return int(h * ch + 0.5), int(w * cw + 0.5)
+        if self.crop_type == "relative_range":
+            lo = np.asarray(self.crop_size, np.float32)
+            ch, cw = lo + rng.rand(2) * (1 - lo)
+            return int(h * ch + 0.5), int(w * cw + 0.5)
+        if self.crop_type == "absolute":
+            return min(h, int(ch)), min(w, int(cw))
+        # absolute_range
+        return (
+            rng.randint(min(h, int(ch)), min(h, int(cw)) + 1),
+            rng.randint(min(w, int(ch)), min(w, int(cw)) + 1),
+        )
+
+    def get_transform(self, img, rng) -> Transform:
+        h, w = img.shape[:2]
+        ch, cw = self._crop_hw(h, w, rng)
+        y0 = rng.randint(h - ch + 1)
+        x0 = rng.randint(w - cw + 1)
+        return CropTransform(x0, y0, cw, ch)
+
+
 def build_augmentation(cfg, is_train: bool) -> List[Augmentation]:
-    """reference detection_utils.py:590-614."""
+    """reference detection_utils.py:590-614 (+ the RandomCrop insertion of
+    dataset_mapper.py when INPUT.CROP.ENABLED)."""
     if is_train:
         augs: List[Augmentation] = [
             ResizeShortestEdge(
@@ -153,6 +216,8 @@ def build_augmentation(cfg, is_train: bool) -> List[Augmentation]:
                 cfg.INPUT.MIN_SIZE_TRAIN_SAMPLING,
             )
         ]
+        if cfg.INPUT.CROP.ENABLED:
+            augs.insert(0, RandomCrop(cfg.INPUT.CROP.TYPE, cfg.INPUT.CROP.SIZE))
         if cfg.INPUT.RANDOM_FLIP != "none":
             augs.append(RandomFlip(0.5))
         return augs

@@ -90,6 +90,11 @@ def _init_batch(cfg) -> DetBatch:
         gt_classes=jnp.zeros((b, g), jnp.int32),
         gt_valid=jnp.asarray([[True] + [False] * (g - 1)]),
         image_trgt=jnp.zeros((b, h, w, 3), jnp.float32),
+        gt_masks=(
+            jnp.zeros((b, g, h // cfg.TPU.MASK_CANVAS_STRIDE, w // cfg.TPU.MASK_CANVAS_STRIDE), jnp.float32)
+            if cfg.MODEL.MASK_ON
+            else None
+        ),
     )
 
 
@@ -107,7 +112,20 @@ def build_evaluator(cfg, dataset_name: str):
     if ev_type == "coco":
         from ..evaluation.coco_eval import COCOEvaluator
 
-        return COCOEvaluator(dataset_name)
+        tasks = ("bbox", "segm") if cfg.MODEL.MASK_ON else ("bbox",)
+        return COCOEvaluator(dataset_name, tasks=tasks)
+    if ev_type == "lvis":
+        from ..evaluation.lvis_eval import LVISEvaluator
+
+        return LVISEvaluator(dataset_name)
+    if ev_type == "cityscapes_instance":
+        from ..evaluation.cityscapes_eval import CityscapesInstanceEvaluator
+
+        return CityscapesInstanceEvaluator(dataset_name)
+    if ev_type == "sem_seg":
+        from ..evaluation.sem_seg_eval import SemSegEvaluator
+
+        return SemSegEvaluator(dataset_name)
     raise NotImplementedError(f"evaluator type {ev_type}")
 
 
@@ -162,6 +180,31 @@ class DefaultPredictor:
         }
 
 
+class _SyncedPeriodicCheckpointer:
+    """PeriodicCheckpointer that pulls the live device state to host before
+    saving (the loop keeps `trainer.state` as device arrays mid-train)."""
+
+    trainer = None
+
+    def __init__(self, checkpointer, period: int):
+        self._ckptr = checkpointer
+        self._period = period
+
+    def before_train(self):
+        pass
+
+    def after_train(self):
+        pass
+
+    def before_step(self):
+        pass
+
+    def after_step(self):
+        it = self.trainer.storage.iter
+        if self._period and (it + 1) % self._period == 0:
+            self._ckptr.save(f"model_{it:07d}", jax.device_get(self.trainer.state))
+
+
 class DefaultTrainer:
     def __init__(self, cfg: CfgNode):
         register_all()
@@ -171,7 +214,16 @@ class DefaultTrainer:
 
         rng = jax.random.PRNGKey(max(cfg.SEED, 0))
         init_b = _init_batch(cfg)
-        params = self.model.init({"params": rng}, init_b, rng, method=self.model.init_all)
+        if cfg.TPU.FAST_INIT:
+            # tests/dryrun: structure-only params, no forward execution
+            from ..utils.testing import materialize_params
+
+            params = materialize_params(
+                lambda r, b: self.model.init({"params": r}, b, r, method=self.model.init_all),
+                rng, init_b,
+            )
+        else:
+            params = self.model.init({"params": rng}, init_b, rng, method=self.model.init_all)
         self.optimizer = build_optimizer(cfg, params)
         self.state = TrainState.create(params, self.optimizer)
 
@@ -184,7 +236,23 @@ class DefaultTrainer:
             caption_burnup_iters=cfg.SOLVER.CAPTION_BURNUP_ITERS,
             lr_schedule=self.lr_schedule,
         )
-        self.eval_step = make_eval_step(self.model)
+        # open-set test head (reference fast_rcnn.py:466-475): evaluate with
+        # a different (usually larger) class vocabulary whose text embeddings
+        # come from OPENSET_TEST_TEXT_EMB_PATH; box deltas must be
+        # class-agnostic for the K-swap to be well-defined
+        self._openset = bool(cfg.MODEL.CLIP.OPENSET_TEST_NUM_CLASSES)
+        if self._openset:
+            assert cfg.MODEL.ROI_BOX_HEAD.CLS_AGNOSTIC_BBOX_REG, (
+                "OPENSET_TEST_NUM_CLASSES requires CLS_AGNOSTIC_BBOX_REG"
+            )
+            eval_cfg = cfg.clone()
+            eval_cfg.defrost()
+            eval_cfg.MODEL.ROI_HEADS.NUM_CLASSES = cfg.MODEL.CLIP.OPENSET_TEST_NUM_CLASSES
+            eval_cfg.freeze()
+            self.eval_model = build_model(eval_cfg)
+        else:
+            self.eval_model = self.model
+        self.eval_step = make_eval_step(self.eval_model)
         self.checkpointer = DetectionCheckpointer(cfg.OUTPUT_DIR)
         self.start_iter = 0
         self.max_iter = cfg.SOLVER.MAX_ITER
@@ -207,7 +275,47 @@ class DefaultTrainer:
                 self.state = self.state.replace(
                     params=load_offline_backbone(self.state.params, cfg.MODEL.PRE_TRAINED_RCLIP_PATH)
                 )
+            if cfg.MODEL.CLIP.BB_RPN_WEIGHTS:
+                # 2nd checkpoint for the frozen offline backbone+RPN
+                # (reference engine/defaults.py:393-399 second_checkpointer)
+                from ..checkpoint.convert_torch import load_bb_rpn_weights
+
+                self.state = self.state.replace(
+                    params=load_bb_rpn_weights(self.state.params, cfg.MODEL.CLIP.BB_RPN_WEIGHTS)
+                )
         self.start_iter = int(jax.device_get(self.state.step))
+
+    # ---- hooks (reference defaults.py:430-476 build_hooks + train_loop.py
+    # TrainerBase.register_hooks/before_step/after_step) ----
+    def build_hooks(self):
+        from . import hooks as H
+
+        cfg = self.cfg
+        writers = [
+            CommonMetricPrinter(self.max_iter),
+            JSONWriter(os.path.join(cfg.OUTPUT_DIR, "metrics.json")),
+            TensorboardXWriter(cfg.OUTPUT_DIR),
+        ]
+        ret = [H.IterationTimer(), H.LRScheduler()]
+        if cfg.SOLVER.CHECKPOINT_PERIOD:
+            ret.append(_SyncedPeriodicCheckpointer(self.checkpointer, cfg.SOLVER.CHECKPOINT_PERIOD))
+        if cfg.TEST.EVAL_PERIOD:
+            ret.append(H.EvalHook(cfg.TEST.EVAL_PERIOD, self._eval_into_storage))
+        ret.append(H.PeriodicWriter(writers, period=20))
+        return ret
+
+    def register_hooks(self, hooks_list):
+        for h in hooks_list:
+            h.trainer = self
+        self._hooks = list(hooks_list)
+
+    def _eval_into_storage(self):
+        results = self.test(self.cfg, self.state)
+        for ds, res in results.items():
+            for task, m in res.items():
+                for k, v in m.items():
+                    if not k.startswith("AP50-"):
+                        self.storage.put_scalar(f"{ds}/{task}/{k}", v, smoothing_hint=False)
 
     # ---- training ----
     def train(self):
@@ -218,22 +326,25 @@ class DefaultTrainer:
         state = replicate(self.state, self.mesh)
         rng = jax.random.PRNGKey(max(cfg.SEED, 0) + 12345)
 
-        writers = [
-            CommonMetricPrinter(self.max_iter),
-            JSONWriter(os.path.join(cfg.OUTPUT_DIR, "metrics.json")),
-            TensorboardXWriter(cfg.OUTPUT_DIR),
-        ]
+        self.register_hooks(self.build_hooks())
         log_period = 20
-        metrics = None
         logger.info("Starting training from iteration %d", self.start_iter)
         with EventStorage(self.start_iter) as storage:
+            self.storage = storage
+            for h in self._hooks:
+                h.before_train()
             t_step = time.time()
             with jax.sharding.set_mesh(self.mesh):
                 for it in range(self.start_iter, self.max_iter):
+                    for h in self._hooks:
+                        h.before_step()
                     batch = shard_batch(next(loader), self.mesh)
                     step_rng = jax.random.fold_in(rng, it)
                     state, metrics = self.train_step(state, batch, step_rng)
+                    self.state = state  # hooks see the live (device) state
 
+                    # metric ingestion stays inline: it is the jitted loop's
+                    # host sync point and must run before PeriodicWriter
                     if (it + 1) % log_period == 0 or it == self.max_iter - 1:
                         host = jax.device_get(metrics)  # sync point
                         total = float(host["total_loss"])
@@ -246,26 +357,13 @@ class DefaultTrainer:
                         t_step = now
                         for k, v in host.items():
                             storage.put_scalar(k, float(v))
-                        for w in writers:
-                            w.write(storage)
-
-                    if cfg.SOLVER.CHECKPOINT_PERIOD and (it + 1) % cfg.SOLVER.CHECKPOINT_PERIOD == 0:
-                        self.state = jax.device_get(state)
-                        self.checkpointer.save(f"model_{it:07d}", self.state)
-
-                    if cfg.TEST.EVAL_PERIOD and (it + 1) % cfg.TEST.EVAL_PERIOD == 0:
-                        self.state = state
-                        results = self.test(cfg, self.state)
-                        for ds, res in results.items():
-                            for task, m in res.items():
-                                for k, v in m.items():
-                                    if not k.startswith("AP50-"):
-                                        storage.put_scalar(f"{ds}/{task}/{k}", v, smoothing_hint=False)
+                    for h in self._hooks:
+                        h.after_step()
                     storage.step()
+            for h in self._hooks:
+                h.after_train()
         self.state = jax.device_get(state)
         self.checkpointer.save("model_final", self.state)
-        for w in writers:
-            w.close()
         return self.test(cfg, self.state) if cfg.DATASETS.TEST else {}
 
     # ---- evaluation ----
@@ -273,6 +371,8 @@ class DefaultTrainer:
         cfg = cfg or self.cfg
         state = state if state is not None else self.state
         params = state.params if hasattr(state, "params") else state
+        if self._openset and cfg.MODEL.CLIP.OPENSET_TEST_TEXT_EMB_PATH:
+            params = load_text_emb_classifier(params, cfg.MODEL.CLIP.OPENSET_TEST_TEXT_EMB_PATH)
         results = {}
         for dataset_name in cfg.DATASETS.TEST:
             loader, n = build_detection_test_loader(cfg, dataset_name)
@@ -281,4 +381,9 @@ class DefaultTrainer:
             results[dataset_name] = res
             logger.info("Results on %s:", dataset_name)
             print_csv_format(res)
+        if cfg.TEST.EXPECTED_RESULTS and len(results) == 1:
+            # golden-metric check (reference defaults.py:497-501)
+            from ..evaluation import verify_results
+
+            assert verify_results(cfg, next(iter(results.values()))), "Result verification failed!"
         return results

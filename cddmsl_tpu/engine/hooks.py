@@ -101,6 +101,7 @@ class PeriodicWriter(HookBase):
 
     def after_train(self):
         for w in self._writers:
+            w.write(self.trainer.storage)  # flush the tail
             w.close()
 
 
@@ -124,9 +125,7 @@ class EvalHook(HookBase):
         it = self.trainer.storage.iter
         if self._period and (it + 1) % self._period == 0:
             self._fn()
-
-    def after_train(self):
-        self._fn()
+    # (no after_train eval: DefaultTrainer.train runs the final test itself)
 
 
 class ProfilerHook(HookBase):

@@ -89,3 +89,43 @@ def make_eval_step(model: GeneralizedRCNN):
         return model.apply(params, batch, method=model.inference)
 
     return jax.jit(eval_step)
+
+
+def make_caption_pl_step(
+    model: GeneralizedRCNN,
+    caption_model,
+    caption_params,
+    optimizer: optax.GradientTransformation,
+    level: str = "img",  # 'img' (rcnn.py:556 caption_pl_img) or 'region' (:565)
+    loss_type: str = "pseudo_label",  # or 'kl' (unsupervised_loss)
+    max_len: int = 20,
+    loss_weight: float = 1.0,
+):
+    """Optional pseudo-label caption step (the reference's caption_pl_img /
+    caption_pl_region branches, wired as a SEPARATE jitted step so the
+    scan-decode never burdens the default training graph). The ClipCap model
+    (mapper + GPT-2) is frozen: gradients flow only into the detector
+    backbone through the target-view prefix."""
+    from ..models.caption import pseudo_labeling_loss, unsupervised_kl_loss
+
+    loss_fn_inner = pseudo_labeling_loss if loss_type == "pseudo_label" else unsupervised_kl_loss
+
+    def loss_fn(params, batch: DetBatch, rng: jax.Array):
+        if level == "img":
+            p_src, p_trgt = model.apply(params, batch, method=model.caption_pl_prefixes)
+        else:
+            p_src, p_trgt = model.apply(params, batch, rng, method=model.caption_pl_region_prefixes)
+        loss = loss_fn_inner(caption_model, caption_params, p_src, p_trgt, max_len=max_len)
+        return loss * loss_weight
+
+    def pl_step(state: TrainState, batch: DetBatch, rng: jax.Array):
+        loss, grads = jax.value_and_grad(loss_fn)(state.params, batch, rng)
+        updates, new_opt_state = optimizer.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        name = "token-pl_loss" if level == "img" else "token-pl-region_loss"
+        return (
+            state.replace(step=state.step + 1, params=new_params, opt_state=new_opt_state),
+            {name: loss},
+        )
+
+    return jax.jit(pl_step)

@@ -47,18 +47,23 @@ def _iou_matrix(dets: np.ndarray, gts: np.ndarray, iscrowd: np.ndarray) -> np.nd
     return np.where(union > 0, inter / np.maximum(union, 1e-10), 0.0)
 
 
-def _eval_image(dets, det_scores, gts, gt_ignore, iscrowd, thresholds):
+def _eval_image(dets, det_scores, gts, gt_ignore, iscrowd, thresholds, ious=None):
     """Greedy matching per COCOeval.evaluateImg. Returns per-threshold
     (det_matched_ignore, det_tp) arrays sorted by score desc, plus npos.
-    Uses the C++ kernel (csrc/cocoeval.cpp) when available."""
+    Uses the C++ kernel (csrc/cocoeval.cpp) when available.
+
+    `ious`: optional precomputed (D, G) IoU matrix in the ORIGINAL det/gt
+    order (used for segm, where IoU comes from masks, not boxes)."""
     order = np.argsort(-det_scores, kind="stable")
     dets = dets[order]
     # gts ordered real-first (cocoeval sorts by ignore flag)
     g_order = np.argsort(gt_ignore.astype(np.int8), kind="stable")
+    if ious is not None:
+        ious = ious[order][:, g_order]
     gts, gt_ignore, iscrowd = gts[g_order], gt_ignore[g_order], iscrowd[g_order]
 
     native = _native_lib()
-    if native is not None and len(dets) and len(gts):
+    if native is not None and ious is None and len(dets) and len(gts):
         import ctypes
 
         T, D, G = len(thresholds), len(dets), len(gts)
@@ -80,7 +85,8 @@ def _eval_image(dets, det_scores, gts, gt_ignore, iscrowd, thresholds):
         )
         return det_scores[order], tp.astype(bool), ign.astype(bool)
 
-    ious = _iou_matrix(dets, gts, iscrowd)
+    if ious is None:
+        ious = _iou_matrix(dets, gts, iscrowd)
     T = len(thresholds)
     D, G = len(dets), len(gts)
     tp = np.zeros((T, D), bool)
@@ -112,33 +118,63 @@ def _eval_image(dets, det_scores, gts, gt_ignore, iscrowd, thresholds):
 
 class COCOEvaluator:
     """Accumulates detections + GT; evaluate() returns the COCO metric dict
-    under key 'bbox' (matching the reference output schema)."""
+    under keys 'bbox' (and 'segm' when tasks include it — reference
+    coco_evaluation.py:_tasks_from_predictions / MASK_ON)."""
 
-    def __init__(self, dataset_name: str):
+    def __init__(self, dataset_name: str, tasks: Sequence[str] = ("bbox",)):
         meta = MetadataCatalog.get(dataset_name)
         classes = meta.get("thing_classes")
         self.num_classes = len(classes) if classes else 80
         self.class_names = classes
+        self.tasks = tuple(tasks)
         self.reset()
 
     def reset(self):
-        self._dets = defaultdict(lambda: defaultdict(list))  # cls -> img -> [(score, box)]
-        self._gts = defaultdict(lambda: defaultdict(list))  # cls -> img -> [(box, iscrowd)]
+        # cls -> img -> [(score, box, rle_or_None)]
+        self._dets = defaultdict(lambda: defaultdict(list))
+        # cls -> img -> [(box, iscrowd, rle_or_None)]
+        self._gts = defaultdict(lambda: defaultdict(list))
         self._images = set()
 
-    def process(self, image_id, boxes, scores, classes):
+    def process(self, image_id, boxes, scores, classes, masks=None, image_hw=None):
+        """`masks`: optional (N, M, M) box-space probabilities; pasted to
+        `image_hw` and RLE-encoded when the segm task is on."""
         self._images.add(image_id)
-        for b, s, c in zip(boxes, scores, classes):
-            self._dets[int(c)][image_id].append((float(s), np.asarray(b, np.float64)))
+        rles = [None] * len(boxes)
+        if masks is not None and "segm" in self.tasks:
+            from .masks import paste_masks_np, rle_encode
 
-    def process_gt(self, image_id, boxes, classes, iscrowd=None):
+            pasted = paste_masks_np(np.asarray(masks), np.asarray(boxes), image_hw)
+            rles = [rle_encode(m) for m in pasted]
+        for b, s, c, r in zip(boxes, scores, classes, rles):
+            self._dets[int(c)][image_id].append((float(s), np.asarray(b, np.float64), r))
+
+    def process_gt(self, image_id, boxes, classes, iscrowd=None, segmentations=None, image_hw=None):
+        """`segmentations`: optional per-instance polygon lists (original
+        image coords) rasterized at `image_hw` for the segm task."""
         self._images.add(image_id)
         if iscrowd is None:
             iscrowd = np.zeros(len(boxes), bool)
-        for b, c, cr in zip(boxes, classes, iscrowd):
-            self._gts[int(c)][image_id].append((np.asarray(b, np.float64), bool(cr)))
+        rles = [None] * len(boxes)
+        if segmentations is not None and "segm" in self.tasks:
+            from .masks import polygons_to_bitmask, rle_encode
+
+            rles = [
+                rle_encode(polygons_to_bitmask(
+                    [np.asarray(p, np.float64).reshape(-1, 2) for p in (segs or [])], image_hw
+                ))
+                for segs in segmentations
+            ]
+        for b, c, cr, r in zip(boxes, classes, iscrowd, rles):
+            self._gts[int(c)][image_id].append((np.asarray(b, np.float64), bool(cr), r))
 
     def evaluate(self) -> Dict[str, Dict[str, float]]:
+        out = {}
+        for task in self.tasks:
+            out[task] = self._evaluate_task(task)
+        return out
+
+    def _evaluate_task(self, task: str) -> Dict[str, float]:
         ap_per_class = {area: [] for area in AREA_RANGES}
         ap50, ap75 = [], []
         for c in range(self.num_classes):
@@ -146,7 +182,7 @@ class COCOEvaluator:
             if not has_gt:
                 continue
             for area, (lo, hi) in AREA_RANGES.items():
-                precisions = self._class_pr(c, lo, hi)  # (T, 101)
+                precisions = self._class_pr(c, lo, hi, task)  # (T, 101)
                 if precisions is None:
                     ap = np.nan
                 else:
@@ -155,7 +191,7 @@ class COCOEvaluator:
                 if area == "all" and precisions is not None:
                     ap50.append(float(np.mean(precisions[0])))
                     ap75.append(float(np.mean(precisions[5])))
-        res = {
+        return {
             "AP": 100 * float(np.nanmean(ap_per_class["all"])) if ap_per_class["all"] else float("nan"),
             "AP50": 100 * float(np.mean(ap50)) if ap50 else float("nan"),
             "AP75": 100 * float(np.mean(ap75)) if ap75 else float("nan"),
@@ -163,9 +199,8 @@ class COCOEvaluator:
             "APm": 100 * float(np.nanmean(ap_per_class["medium"])) if ap_per_class["medium"] else float("nan"),
             "APl": 100 * float(np.nanmean(ap_per_class["large"])) if ap_per_class["large"] else float("nan"),
         }
-        return {"bbox": res}
 
-    def _class_pr(self, c: int, area_lo: float, area_hi: float):
+    def _class_pr(self, c: int, area_lo: float, area_hi: float, task: str = "bbox"):
         T = len(IOU_THRESHOLDS)
         all_scores, all_tp, all_ign = [], [], []
         npos = 0
@@ -173,21 +208,38 @@ class COCOEvaluator:
         gt_imgs = self._gts.get(c, {})
         for img in self._images:
             gt_list = gt_imgs.get(img, [])
-            gts = np.array([b for b, _ in gt_list]).reshape(-1, 4)
-            iscrowd = np.array([cr for _, cr in gt_list], bool)
-            areas = (gts[:, 2] - gts[:, 0]) * (gts[:, 3] - gts[:, 1]) if len(gts) else np.zeros(0)
+            gts = np.array([b for b, _, _ in gt_list]).reshape(-1, 4)
+            iscrowd = np.array([cr for _, cr, _ in gt_list], bool)
+            if task == "segm":
+                from .masks import rle_area
+
+                areas = np.array([rle_area(r) if r else 0.0 for _, _, r in gt_list])
+            else:
+                areas = (gts[:, 2] - gts[:, 0]) * (gts[:, 3] - gts[:, 1]) if len(gts) else np.zeros(0)
             gt_ignore = iscrowd | (areas < area_lo) | (areas > area_hi)
             npos += int((~gt_ignore).sum())
             det_list = det_imgs.get(img, [])
             if not det_list:
                 continue
-            det_boxes = np.array([b for _, b in det_list]).reshape(-1, 4)
-            det_scores = np.array([s for s, _ in det_list])
+            det_boxes = np.array([b for _, b, _ in det_list]).reshape(-1, 4)
+            det_scores = np.array([s for s, _, _ in det_list])
+            ious = None
+            if task == "segm":
+                from .masks import mask_iou_matrix, rle_area
+
+                det_rles = [r for _, _, r in det_list]
+                gt_rles = [r for _, _, r in gt_list]
+                if any(r is None for r in det_rles + gt_rles):
+                    continue  # segm task without masks: skip image
+                ious = mask_iou_matrix(det_rles, gt_rles, iscrowd)
             scores, tp, ign = _eval_image(
-                det_boxes, det_scores, gts, gt_ignore, iscrowd, IOU_THRESHOLDS
+                det_boxes, det_scores, gts, gt_ignore, iscrowd, IOU_THRESHOLDS, ious=ious
             )
             # dets outside the area range that are unmatched -> ignored
-            d_areas = (det_boxes[:, 2] - det_boxes[:, 0]) * (det_boxes[:, 3] - det_boxes[:, 1])
+            if task == "segm":
+                d_areas = np.array([rle_area(r) for _, _, r in det_list], np.float64)
+            else:
+                d_areas = (det_boxes[:, 2] - det_boxes[:, 0]) * (det_boxes[:, 3] - det_boxes[:, 1])
             order = np.argsort(-det_scores, kind="stable")
             out_of_range = ((d_areas < area_lo) | (d_areas > area_hi))[order]
             ign = ign | (out_of_range[None, :] & ~tp)

@@ -38,17 +38,29 @@ def inference_on_dataset(
         scores = np.asarray(det.scores)
         classes = np.asarray(det.classes)
         valid = np.asarray(det.valid)
+        masks = np.asarray(det.masks) if det.masks is not None else None
         total_compute += time.time() - t0
 
         t1 = time.time()
+        segm = masks is not None and "segm" in getattr(evaluator, "tasks", ())
         for i, meta in enumerate(metas):
             keep = valid[i]
-            evaluator.process(meta["image_id"], boxes[i][keep], scores[i][keep], classes[i][keep])
+            hw = (meta.get("height"), meta.get("width")) if segm else None
+            kwargs = {"masks": masks[i][keep], "image_hw": hw} if segm else {}
+            evaluator.process(
+                meta["image_id"], boxes[i][keep], scores[i][keep], classes[i][keep], **kwargs
+            )
             if "annotations" in meta:
                 gb = np.array([a["bbox"] for a in meta["annotations"]], np.float32).reshape(-1, 4)
                 gc = np.array([a["category_id"] for a in meta["annotations"]], np.int32).reshape(-1)
                 gd = np.array([a.get("difficult", 0) for a in meta["annotations"]], bool).reshape(-1)
-                evaluator.process_gt(meta["image_id"], gb, gc, gd)
+                gt_kwargs = {}
+                if segm:
+                    gt_kwargs = {
+                        "segmentations": [a.get("segmentation") for a in meta["annotations"]],
+                        "image_hw": hw,
+                    }
+                evaluator.process_gt(meta["image_id"], gb, gc, gd, **gt_kwargs)
         seen += len(metas)
         total_eval += time.time() - t1
         t_data = time.time()

@@ -1,0 +1,125 @@
+"""Host-side (numpy) mask utilities for COCO segm evaluation.
+
+Replaces the reference's pycocotools mask API (used by
+detectron2/evaluation/coco_evaluation.py through `maskUtils.encode/iou` and
+structures/masks.py `polygons_to_bitmask`) — pycocotools is not available in
+this environment, so the uncompressed COCO RLE codec, polygon
+rasterization, mask pasting and mask IoU are implemented directly.
+"""
+
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+_POPCOUNT = np.array([bin(i).count("1") for i in range(256)], np.int64)
+
+
+def paste_masks_np(
+    masks: np.ndarray,  # (N, M, M) probabilities in box space
+    boxes: np.ndarray,  # (N, 4) XYXY image coords
+    image_hw: Tuple[int, int],
+    threshold: float = 0.5,
+) -> np.ndarray:
+    """Numpy mirror of models/mask_head.py paste_masks_in_image (reference
+    layers/mask_ops.py paste_masks_in_image): inverse bilinear sampling of
+    the box-space mask at every image pixel inside the box."""
+    H, W = int(image_hw[0]), int(image_hw[1])
+    n, m, _ = masks.shape
+    out = np.zeros((n, H, W), bool)
+    ys_img = np.arange(H) + 0.5
+    xs_img = np.arange(W) + 0.5
+    for i in range(n):
+        x1, y1, x2, y2 = boxes[i]
+        w = max(x2 - x1, 1e-3)
+        h = max(y2 - y1, 1e-3)
+        ys = (ys_img - y1) / h * m - 0.5
+        xs = (xs_img - x1) / w * m - 0.5
+        yy = np.clip(ys, 0, m - 1)
+        xx = np.clip(xs, 0, m - 1)
+        y0 = np.floor(yy).astype(np.int64)
+        x0 = np.floor(xx).astype(np.int64)
+        y1i = np.minimum(y0 + 1, m - 1)
+        x1i = np.minimum(x0 + 1, m - 1)
+        ly = (yy - y0)[:, None]
+        lx = (xx - x0)[None, :]
+        mk = masks[i]
+        v = (
+            mk[y0][:, x0] * (1 - ly) * (1 - lx)
+            + mk[y0][:, x1i] * (1 - ly) * lx
+            + mk[y1i][:, x0] * ly * (1 - lx)
+            + mk[y1i][:, x1i] * ly * lx
+        )
+        inside = (
+            (ys_img[:, None] >= y1) & (ys_img[:, None] <= y2)
+            & (xs_img[None, :] >= x1) & (xs_img[None, :] <= x2)
+        )
+        out[i] = (v > threshold) & inside
+    return out
+
+
+def polygons_to_bitmask(polygons: Sequence[np.ndarray], hw: Tuple[int, int]) -> np.ndarray:
+    """Polygon rings (each (P, 2) float xy) -> (H, W) bool bitmask via PIL
+    (reference structures/masks.py polygons_to_bitmask uses pycocotools)."""
+    from PIL import Image, ImageDraw
+
+    H, W = int(hw[0]), int(hw[1])
+    img = Image.new("L", (W, H), 0)
+    draw = ImageDraw.Draw(img)
+    for ring in polygons:
+        pts = [(float(x), float(y)) for x, y in np.asarray(ring, np.float64).reshape(-1, 2)]
+        if len(pts) >= 3:
+            draw.polygon(pts, fill=1)
+    return np.asarray(img, bool)
+
+
+# ---------------- uncompressed COCO RLE (column-major) ----------------
+def rle_encode(mask: np.ndarray) -> Dict:
+    """(H, W) bool -> {'size': [H, W], 'counts': [int, ...]} — COCO
+    uncompressed RLE: column-major scan, alternating run lengths starting
+    with the count of 0s."""
+    h, w = mask.shape
+    flat = np.asarray(mask, bool).T.reshape(-1)  # column-major
+    if flat.size == 0:
+        return {"size": [h, w], "counts": [0]}
+    change = np.nonzero(np.diff(flat))[0] + 1
+    runs = np.diff(np.concatenate([[0], change, [flat.size]])).tolist()
+    if flat[0]:  # counts must start with a zero-run
+        runs = [0] + runs
+    return {"size": [h, w], "counts": runs}
+
+
+def rle_decode(rle: Dict) -> np.ndarray:
+    h, w = rle["size"]
+    flat = np.zeros(h * w, bool)
+    pos = 0
+    val = False
+    for run in rle["counts"]:
+        if val:
+            flat[pos : pos + run] = True
+        pos += run
+        val = not val
+    return flat.reshape(w, h).T
+
+
+def rle_area(rle: Dict) -> int:
+    return int(sum(rle["counts"][1::2]))
+
+
+def mask_iou_matrix(
+    det_rles: List[Dict], gt_rles: List[Dict], iscrowd: np.ndarray
+) -> np.ndarray:
+    """(D,), (G,) RLEs -> (D, G) mask IoU; crowd GT uses
+    intersection-over-det-area (pycocotools maskUtils.iou semantics)."""
+    d, g = len(det_rles), len(gt_rles)
+    if d == 0 or g == 0:
+        return np.zeros((d, g))
+    dm = np.stack([np.packbits(rle_decode(r).reshape(-1)) for r in det_rles])  # (D, B)
+    gm = np.stack([np.packbits(rle_decode(r).reshape(-1)) for r in gt_rles])
+    area_d = np.array([rle_area(r) for r in det_rles], np.float64)
+    area_g = np.array([rle_area(r) for r in gt_rles], np.float64)
+    inter = np.zeros((d, g), np.float64)
+    for j in range(g):
+        inter[:, j] = _POPCOUNT[np.bitwise_and(dm, gm[j][None, :])].sum(axis=1)
+    union = area_d[:, None] + area_g[None, :] - inter
+    union = np.where(np.asarray(iscrowd, bool)[None, :], area_d[:, None], union)
+    return np.where(union > 0, inter / np.maximum(union, 1e-10), 0.0)

@@ -16,6 +16,7 @@ from flax import linen as nn
 from .clip_resnet import FrozenBatchNorm, _avg_pool, _conv
 
 D2_RESNET_SPECS = {
+    10: [1, 1, 1, 1],  # compile-light test depth (not in the reference table)
     18: [2, 2, 2, 2],
     34: [3, 4, 6, 3],
     50: [3, 4, 6, 3],
@@ -62,6 +63,27 @@ class D2Bottleneck(nn.Module):
         return nn.relu(out + sc)
 
 
+class D2BasicBlock(nn.Module):
+    """Two-3x3-conv residual block for ResNet-18/34 (reference
+    modeling/backbone/resnet.py BasicBlock)."""
+
+    out_channels: int
+    stride: int = 1
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        out = _conv(self.out_channels, 3, stride=self.stride, padding=1, dtype=self.dtype, name="conv1")(x)
+        out = nn.relu(FrozenBatchNorm(self.out_channels, dtype=self.dtype, name="bn1")(out))
+        out = _conv(self.out_channels, 3, padding=1, dtype=self.dtype, name="conv2")(out)
+        out = FrozenBatchNorm(self.out_channels, dtype=self.dtype, name="bn2")(out)
+        sc = x
+        if self.stride > 1 or x.shape[-1] != self.out_channels:
+            sc = _conv(self.out_channels, 1, stride=self.stride, dtype=self.dtype, name="shortcut")(x)
+            sc = FrozenBatchNorm(self.out_channels, dtype=self.dtype, name="shortcut_bn")(sc)
+        return nn.relu(out + sc)
+
+
 class D2ResNet(nn.Module):
     depth: int = 50
     out_features: Sequence[str] = ("res4",)
@@ -71,6 +93,11 @@ class D2ResNet(nn.Module):
     stem_out_channels: int = 64
     res2_out_channels: int = 256
     dtype: Any = jnp.float32
+
+    @property
+    def use_basic_block(self) -> bool:
+        # reference resnet.py: depth 18/34 use BasicBlock and RES2_OUT=64
+        return self.depth in (18, 34)
 
     @nn.compact
     def __call__(self, x) -> Dict[str, jnp.ndarray]:
@@ -87,7 +114,8 @@ class D2ResNet(nn.Module):
             outputs["stem"] = x
 
         blocks = D2_RESNET_SPECS[self.depth]
-        out_ch = self.res2_out_channels
+        basic = self.use_basic_block
+        out_ch = 64 if basic else self.res2_out_channels
         bottleneck_ch = self.width_per_group
         for stage_idx, (name, n_blocks) in enumerate(
             zip(("res2", "res3", "res4", "res5"), blocks)
@@ -97,15 +125,23 @@ class D2ResNet(nn.Module):
             if name == "res5" and self.res5_dilation > 1:
                 stride = 1
             for b in range(n_blocks):
-                x = D2Bottleneck(
-                    bottleneck_channels=bottleneck_ch,
-                    out_channels=out_ch,
-                    stride=stride if b == 0 else 1,
-                    stride_in_1x1=self.stride_in_1x1,
-                    dilation=dilation,
-                    dtype=d,
-                    name=f"{name}_{b}",
-                )(x)
+                if basic:
+                    x = D2BasicBlock(
+                        out_channels=out_ch,
+                        stride=stride if b == 0 else 1,
+                        dtype=d,
+                        name=f"{name}_{b}",
+                    )(x)
+                else:
+                    x = D2Bottleneck(
+                        bottleneck_channels=bottleneck_ch,
+                        out_channels=out_ch,
+                        stride=stride if b == 0 else 1,
+                        stride_in_1x1=self.stride_in_1x1,
+                        dilation=dilation,
+                        dtype=d,
+                        name=f"{name}_{b}",
+                    )(x)
             if name in self.out_features:
                 outputs[name] = x
             out_ch *= 2

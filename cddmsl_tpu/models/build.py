@@ -22,13 +22,19 @@ def _dtype(cfg):
 def build_generalized_rcnn(cfg) -> GeneralizedRCNN:
     depth = cfg.MODEL.RESNETS.DEPTH
     layers, width = RESNET_SPECS[depth]
+    # compile-light overrides (tests / CPU multichip dryrun)
+    if list(cfg.TPU.BACKBONE_LAYERS):
+        layers = list(cfg.TPU.BACKBONE_LAYERS)
+    if cfg.TPU.BACKBONE_WIDTH:
+        width = cfg.TPU.BACKBONE_WIDTH
+    embed_dim = cfg.TPU.EMBED_DIM or EMBED_DIMS[depth]
     focal = cfg.MODEL.CLIP.FOCAL_SCALED_LOSS
     bgw = cfg.MODEL.CLIP.BG_CLS_LOSS_WEIGHT
     return GeneralizedRCNN(
         backbone_layers=tuple(layers),
         backbone_width=width,
         backbone_out_features=tuple(cfg.MODEL.RESNETS.OUT_FEATURES),
-        embed_dim=EMBED_DIMS[depth],
+        embed_dim=embed_dim,
         input_resolution=IMAGE_RESOLUTIONS[depth],
         anchor_sizes=tuple(s for group in cfg.MODEL.ANCHOR_GENERATOR.SIZES for s in (group if isinstance(group, (list, tuple)) else [group])),
         anchor_aspect_ratios=tuple(cfg.MODEL.ANCHOR_GENERATOR.ASPECT_RATIOS[0]),
@@ -50,10 +56,23 @@ def build_generalized_rcnn(cfg) -> GeneralizedRCNN:
         score_thresh_test=cfg.MODEL.ROI_HEADS.SCORE_THRESH_TEST,
         nms_thresh_test=cfg.MODEL.ROI_HEADS.NMS_THRESH_TEST,
         detections_per_image=cfg.TEST.DETECTIONS_PER_IMAGE,
+        mask_on=cfg.MODEL.MASK_ON,
+        mask_num_conv=cfg.MODEL.ROI_MASK_HEAD.NUM_CONV,
+        mask_conv_dim=cfg.MODEL.ROI_MASK_HEAD.CONV_DIM,
+        mask_cls_agnostic=cfg.MODEL.ROI_MASK_HEAD.CLS_AGNOSTIC_MASK,
+        mask_canvas_stride=float(cfg.TPU.MASK_CANVAS_STRIDE),
+        no_box_delta=cfg.MODEL.CLIP.NO_BOX_DELTA,
+        multiply_rpn_score=cfg.MODEL.CLIP.MULTIPLY_RPN_SCORE,
+        soft_nms_enabled=cfg.MODEL.ROI_HEADS.SOFT_NMS_ENABLED,
+        soft_nms_method=cfg.MODEL.ROI_HEADS.SOFT_NMS_METHOD,
+        soft_nms_sigma=cfg.MODEL.ROI_HEADS.SOFT_NMS_SIGMA,
+        soft_nms_prune=cfg.MODEL.ROI_HEADS.SOFT_NMS_PRUNE,
         pixel_mean=tuple(cfg.MODEL.PIXEL_MEAN),
         pixel_std=tuple(cfg.MODEL.PIXEL_STD),
         region_consistency_boxes=cfg.TPU.REGION_CONSISTENCY_BOXES,
         v2l_image_size=cfg.TPU.V2L_IMAGE_SIZE,
+        v2l_mapper_layers=cfg.TPU.V2L_MAPPER_LAYERS,
+        v2l_mapper_tokens=cfg.TPU.V2L_MAPPER_TOKENS,
         backbone_remat=cfg.TPU.REMAT_BACKBONE,
         use_pallas_roi_align=cfg.TPU.PALLAS_ROI_ALIGN,
         dtype=_dtype(cfg),
@@ -90,6 +109,36 @@ def build_clip_fast_rcnn(cfg):
         temperature=cfg.MODEL.CLIP.CLSS_TEMP,
         pixel_mean=tuple(cfg.MODEL.PIXEL_MEAN),
         pixel_std=tuple(cfg.MODEL.PIXEL_STD),
+        dtype=_dtype(cfg),
+    )
+
+
+@META_ARCH_REGISTRY.register()
+def build_pretrain_fast_rcnn(cfg):
+    """RegionCLIP pretraining arch (reference clip_rcnn.py PretrainFastRCNN +
+    configs/pretrain/RegionCLIP_RN50.yaml)."""
+    from .clip_rcnn import PretrainFastRCNN
+
+    depth = cfg.MODEL.RESNETS.DEPTH
+    layers, width = RESNET_SPECS[depth]
+    if list(cfg.TPU.BACKBONE_LAYERS):
+        layers = list(cfg.TPU.BACKBONE_LAYERS)
+    if cfg.TPU.BACKBONE_WIDTH:
+        width = cfg.TPU.BACKBONE_WIDTH
+    embed_dim = cfg.TPU.EMBED_DIM or EMBED_DIMS[depth]
+    return PretrainFastRCNN(
+        backbone_layers=tuple(layers),
+        backbone_width=width,
+        embed_dim=embed_dim,
+        concept_dim=embed_dim,
+        num_concepts=cfg.MODEL.CLIP.PRETRAIN_NUM_CONCEPTS,
+        num_regions=cfg.MODEL.CLIP.PRETRAIN_SAMPLE_REGIONS or 36,
+        concept_thresh=cfg.MODEL.CLIP.CONCEPT_THRES or 0.1,
+        text_vocab_size=cfg.MODEL.CLIP.TEXT_VOCAB_SIZE,
+        text_context_length=cfg.MODEL.CLIP.TEXT_CONTEXT_LENGTH,
+        text_width=cfg.MODEL.CLIP.TEXT_WIDTH,
+        text_heads=cfg.MODEL.CLIP.TEXT_HEADS,
+        text_layers=cfg.MODEL.CLIP.TEXT_LAYERS,
         dtype=_dtype(cfg),
     )
 

@@ -149,6 +149,13 @@ class PretrainFastRCNN(nn.Module):
     num_regions: int = 36  # MODEL.CLIP.PRETRAIN_SAMPLE_REGIONS
     concept_thresh: float = 0.1  # MODEL.CLIP.CONCEPT_THRES
     distill_temp: float = 0.01
+    # in-graph caption encoder (reference: the lang_encoder of PretrainFastRCNN
+    # encodes TSV captions during pretraining, clip_rcnn.py + build.py:312-340)
+    text_vocab_size: int = 49408
+    text_context_length: int = 77
+    text_width: int = 512
+    text_heads: int = 8
+    text_layers: int = 12
     dtype: Any = jnp.float32
 
     def setup(self):
@@ -173,6 +180,33 @@ class PretrainFastRCNN(nn.Module):
         self.roi_heads = CLIPRes5ROIHeads(
             num_classes=self.num_concepts, use_text_emb=True, emb_dim=self.embed_dim, dtype=self.dtype
         )
+        from .backbone.text_encoder import CLIPTextEncoder
+
+        self.lang_encoder = CLIPTextEncoder(
+            embed_dim=self.embed_dim,
+            context_length=self.text_context_length,
+            vocab_size=self.text_vocab_size,
+            width=self.text_width,
+            heads=self.text_heads,
+            layers=self.text_layers,
+            dtype=self.dtype,
+        )
+
+    def encode_text(self, tokens: jnp.ndarray) -> jnp.ndarray:
+        """(B, context_length) int32 BPE tokens -> (B, embed_dim)."""
+        return self.lang_encoder(tokens)
+
+    def pretrain_losses_with_text(
+        self,
+        images224: jnp.ndarray,  # (B, 224, 224, 3) normalized
+        region_boxes: jnp.ndarray,  # (B, R, 4)
+        text_tokens: jnp.ndarray,  # (B, context_length) int32
+    ) -> Dict[str, jnp.ndarray]:
+        """The full pretraining step input: captions are encoded IN-GRAPH by
+        the frozen lang encoder (reference trains over the TSV corpus with
+        the language tower in the loop)."""
+        text_embs = jax.lax.stop_gradient(self.encode_text(text_tokens))
+        return self.pretrain_losses(images224, region_boxes, text_embs)
 
     def _region_embed(self, backbone, images224, boxes):
         feats = backbone(images224)["res4"]

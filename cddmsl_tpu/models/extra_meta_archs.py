@@ -155,3 +155,80 @@ def keypoint_rcnn_loss(
     nll = -jnp.take_along_axis(lp, tgt[:, None, :], axis=1)[:, 0, :]
     m = kp_visible.astype(jnp.float32)
     return jnp.sum(nll * m) / jnp.maximum(jnp.sum(m), 1.0)
+
+
+class KeypointROIHeads(nn.Module):
+    """Keypoint RoI-heads ASSEMBLY (reference roi_heads.py StandardROIHeads
+    `_forward_keypoint` + keypoint_head.py): pool sampled boxes, run the
+    KRCNN head, convert GT keypoints (image coords + visibility) into heatmap
+    targets in box coordinates, CE loss over visible keypoints; inference
+    decodes heatmap argmax back to image coordinates."""
+
+    num_keypoints: int = 17
+    pooler_resolution: int = 14
+    pooler_scale: float = 1.0 / 16
+    conv_dims: Sequence[int] = (512,) * 8
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        self.keypoint_head = KRCNNConvDeconvUpsampleHead(
+            num_keypoints=self.num_keypoints, conv_dims=self.conv_dims, dtype=self.dtype
+        )
+
+    def _pool(self, features, boxes):
+        from ..ops.roi_align import roi_align
+
+        b, s = boxes.shape[:2]
+        pooled = jax.vmap(
+            lambda f, bx: roi_align(
+                f, bx, (self.pooler_resolution, self.pooler_resolution), self.pooler_scale, 2, True
+            )
+        )(features, boxes)
+        return pooled.reshape(b * s, self.pooler_resolution, self.pooler_resolution, -1)
+
+    @staticmethod
+    def keypoints_to_heatmap_targets(keypoints, boxes, heatmap_size):
+        """(N, K, 3) image-coord keypoints (x, y, vis) x (N, 4) boxes ->
+        (N, K) flat heatmap indices + (N, K) validity (reference
+        structures/keypoints.py _keypoints_to_heatmap)."""
+        x1, y1 = boxes[:, 0:1], boxes[:, 1:2]
+        w = jnp.maximum(boxes[:, 2:3] - x1, 1e-4)
+        h = jnp.maximum(boxes[:, 3:4] - y1, 1e-4)
+        sx = heatmap_size / w
+        sy = heatmap_size / h
+        kx = jnp.floor((keypoints[..., 0] - x1) * sx).astype(jnp.int32)
+        ky = jnp.floor((keypoints[..., 1] - y1) * sy).astype(jnp.int32)
+        inside = (kx >= 0) & (kx < heatmap_size) & (ky >= 0) & (ky < heatmap_size)
+        vis = (keypoints[..., 2] > 0) & inside
+        pos = jnp.clip(ky, 0, heatmap_size - 1) * heatmap_size + jnp.clip(kx, 0, heatmap_size - 1)
+        return pos, vis
+
+    def losses(self, features, boxes, fg_valid, gt_keypoints):
+        """features (B,H,W,C), boxes (B,S,4), fg_valid (B,S),
+        gt_keypoints (B,S,K,3) matched per sampled box."""
+        b, s = boxes.shape[:2]
+        heat = self.keypoint_head(self._pool(features, boxes))  # (B*S, S2, S2, K)
+        size = heat.shape[1]
+        pos, vis = self.keypoints_to_heatmap_targets(
+            gt_keypoints.reshape(b * s, self.num_keypoints, 3), boxes.reshape(b * s, 4), size
+        )
+        vis = vis & fg_valid.reshape(b * s)[:, None]
+        return {"loss_keypoint": keypoint_rcnn_loss(heat, pos, vis)}
+
+    def inference(self, features, boxes):
+        """boxes (B,D,4) -> (B, D, K, 3) decoded (x, y, score)."""
+        b, d = boxes.shape[:2]
+        heat = self.keypoint_head(self._pool(features, boxes))  # (B*D, S2, S2, K)
+        n, size, _, k = heat.shape
+        flat = heat.reshape(n, size * size, k)
+        idx = jnp.argmax(flat, axis=1)  # (N, K)
+        score = jax.nn.softmax(flat, axis=1)
+        score = jnp.take_along_axis(score, idx[:, None, :], axis=1)[:, 0, :]
+        ky, kx = idx // size, idx % size
+        bx = boxes.reshape(n, 4)
+        x1, y1 = bx[:, 0:1], bx[:, 1:2]
+        w = jnp.maximum(bx[:, 2:3] - x1, 1e-4)
+        h = jnp.maximum(bx[:, 3:4] - y1, 1e-4)
+        px = x1 + (kx + 0.5) * w / size
+        py = y1 + (ky + 0.5) * h / size
+        return jnp.stack([px, py, score], axis=-1).reshape(b, d, k, 3)

@@ -130,6 +130,9 @@ class DetectionResult(NamedTuple):
     scores: jnp.ndarray  # (D,)
     classes: jnp.ndarray  # (D,) int32
     valid: jnp.ndarray  # (D,) bool
+    # (D, M, M) box-space mask probabilities (MASK_ON eval only); pasted to
+    # image space by the evaluator/postprocess on host
+    masks: Optional[jnp.ndarray] = None
 
 
 def fast_rcnn_inference_single_image(
@@ -147,6 +150,10 @@ def fast_rcnn_inference_single_image(
     no_box_delta: bool = False,
     rpn_scores: Optional[jnp.ndarray] = None,
     multiply_rpn_score: bool = False,
+    soft_nms_enabled: bool = False,
+    soft_nms_method: str = "gaussian",
+    soft_nms_sigma: float = 0.5,
+    soft_nms_prune: float = 0.001,
 ) -> DetectionResult:
     """Static-shape fast_rcnn_inference (reference fast_rcnn.py:130-227):
     softmax -> drop bg -> per-class threshold -> take top `max_candidates`
@@ -184,6 +191,22 @@ def fast_rcnn_inference_single_image(
     top_classes = flat_classes[top_idx]
     top_valid = top_scores > jnp.maximum(score_thresh, 0.0)
 
+    if soft_nms_enabled:
+        # reference fast_rcnn.py inference soft-NMS branch + layers/soft_nms.py:85
+        from ..ops.soft_nms import batched_soft_nms
+
+        keep_idx, new_scores, keep_valid = batched_soft_nms(
+            top_boxes, top_scores, top_classes,
+            method=soft_nms_method, gaussian_sigma=soft_nms_sigma,
+            linear_threshold=nms_thresh, prune_threshold=soft_nms_prune,
+            max_out=topk_per_image, valid=top_valid,
+        )
+        return DetectionResult(
+            boxes=top_boxes[keep_idx],
+            scores=jnp.where(keep_valid, new_scores, 0.0),
+            classes=top_classes[keep_idx].astype(jnp.int32),
+            valid=keep_valid,
+        )
     keep_idx, keep_valid = batched_nms(
         top_boxes, top_scores, top_classes, nms_thresh, max_out=topk_per_image, valid=top_valid
     )

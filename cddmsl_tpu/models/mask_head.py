@@ -12,23 +12,31 @@ from flax import linen as nn
 
 
 class MaskRCNNConvUpsampleHead(nn.Module):
+    """NUM_CONV 3x3 convs (0 for C4, 4 for FPN) + 2x deconv + 1x1 predictor
+    (reference mask_head.py:MaskRCNNConvUpsampleHead + defaults.py
+    ROI_MASK_HEAD.NUM_CONV/CONV_DIM)."""
+
     num_classes: int
-    conv_dims: Sequence[int] = (256, 256, 256, 256)
+    num_conv: int = 0
+    conv_dim: int = 256
+    cls_agnostic: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        """x: (N, P, P, C) pooled features -> (N, 2P, 2P, num_classes) logits."""
+        """x: (N, P, P, C) pooled features -> (N, 2P, 2P, K or 1) logits."""
         x = x.astype(self.dtype)
-        for i, c in enumerate(self.conv_dims):
+        for i in range(self.num_conv):
             x = nn.relu(
-                nn.Conv(c, (3, 3), padding=1, dtype=self.dtype, param_dtype=jnp.float32, name=f"mask_fcn{i+1}")(x)
+                nn.Conv(self.conv_dim, (3, 3), padding=1, dtype=self.dtype, param_dtype=jnp.float32,
+                        name=f"mask_fcn{i+1}")(x)
             )
         x = nn.relu(
-            nn.ConvTranspose(self.conv_dims[-1], (2, 2), strides=(2, 2), dtype=self.dtype,
+            nn.ConvTranspose(self.conv_dim, (2, 2), strides=(2, 2), dtype=self.dtype,
                              param_dtype=jnp.float32, name="deconv")(x)
         )
-        return nn.Conv(self.num_classes, (1, 1), dtype=self.dtype, param_dtype=jnp.float32, name="predictor")(
+        out_ch = 1 if self.cls_agnostic else self.num_classes
+        return nn.Conv(out_ch, (1, 1), dtype=self.dtype, param_dtype=jnp.float32, name="predictor")(
             x
         ).astype(jnp.float32)
 
@@ -56,6 +64,54 @@ def mask_rcnn_inference(mask_logits: jnp.ndarray, pred_classes: jnp.ndarray) -> 
     cls = jnp.clip(pred_classes, 0, mask_logits.shape[-1] - 1)
     sel = jnp.take_along_axis(mask_logits, cls[:, None, None, None], axis=-1)[..., 0]
     return jax.nn.sigmoid(sel)
+
+
+def crop_mask_targets(
+    canvas: jnp.ndarray,  # (G, Hm, Wm) {0,1} GT bitmask canvas at `stride`
+    gt_idx: jnp.ndarray,  # (S,) matched GT index per sampled proposal
+    boxes: jnp.ndarray,  # (S, 4) XYXY in image coords
+    out_size: int,
+    stride: float = 1.0,
+    sampling_ratio: int = 2,
+) -> jnp.ndarray:
+    """GT targets for the mask loss: crop each proposal's matched GT bitmask
+    to the box and resize to (out_size, out_size), then threshold at 0.5.
+
+    Replicates BitMasks.crop_and_resize (reference structures/masks.py:
+    ROIAlign(output_size, 1.0, 0, aligned=True) then >= 0.5) with a fixed
+    sampling_ratio (static shapes; the repo uses 2 elsewhere too). The crop
+    is a tiny per-ROI gather — out_size^2 * sr^2 points — so no (S, Hm, Wm)
+    intermediate materializes.
+    """
+    g, hm, wm = canvas.shape
+    sr = max(sampling_ratio, 1)
+
+    def one(idx, box):
+        m = canvas[idx]  # (Hm, Wm)
+        x1, y1, x2, y2 = box / stride
+        bw = jnp.maximum(x2 - x1, 1e-6)
+        bh = jnp.maximum(y2 - y1, 1e-6)
+        # aligned=True ROIAlign sample grid: bin centers offset by -0.5
+        ys = y1 + (jnp.arange(out_size * sr) + 0.5) * bh / (out_size * sr) - 0.5
+        xs = x1 + (jnp.arange(out_size * sr) + 0.5) * bw / (out_size * sr) - 0.5
+        yy = jnp.clip(ys, 0.0, hm - 1.0)
+        xx = jnp.clip(xs, 0.0, wm - 1.0)
+        y0 = jnp.floor(yy).astype(jnp.int32)
+        x0 = jnp.floor(xx).astype(jnp.int32)
+        y1i = jnp.minimum(y0 + 1, hm - 1)
+        x1i = jnp.minimum(x0 + 1, wm - 1)
+        ly = (yy - y0)[:, None]
+        lx = (xx - x0)[None, :]
+        v = (
+            m[y0][:, x0] * (1 - ly) * (1 - lx)
+            + m[y0][:, x1i] * (1 - ly) * lx
+            + m[y1i][:, x0] * ly * (1 - lx)
+            + m[y1i][:, x1i] * ly * lx
+        )  # (out*sr, out*sr)
+        v = v.reshape(out_size, sr, out_size, sr).mean(axis=(1, 3))
+        return (v >= 0.5).astype(jnp.float32)
+
+    return jax.vmap(one)(gt_idx, boxes)
 
 
 def paste_masks_in_image(

@@ -53,6 +53,8 @@ class DetBatch(NamedTuple):
     gt_classes: jnp.ndarray  # (B, G) int32
     gt_valid: jnp.ndarray  # (B, G) bool
     image_trgt: Optional[jnp.ndarray] = None  # (B, H, W, 3) translated twin
+    # (B, G, H/ms, W/ms) {0,1} GT bitmasks at TPU.MASK_CANVAS_STRIDE (MASK_ON)
+    gt_masks: Optional[jnp.ndarray] = None
 
 
 def infonce_bidirectional(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
@@ -103,6 +105,19 @@ class GeneralizedRCNN(nn.Module):
     score_thresh_test: float = 0.05
     nms_thresh_test: float = 0.5
     detections_per_image: int = 100
+    # mask branch (MODEL.MASK_ON; reference roi_heads.py:480-534)
+    mask_on: bool = False
+    mask_num_conv: int = 0
+    mask_conv_dim: int = 256
+    mask_cls_agnostic: bool = False
+    mask_canvas_stride: float = 4.0
+    # inference options (reference fast_rcnn.py:466-527)
+    no_box_delta: bool = False
+    multiply_rpn_score: bool = False
+    soft_nms_enabled: bool = False
+    soft_nms_method: str = "gaussian"
+    soft_nms_sigma: float = 0.5
+    soft_nms_prune: float = 0.001
     # input
     pixel_mean: Sequence[float] = (0.48145466, 0.4578275, 0.40821073)
     pixel_std: Sequence[float] = (0.26862954, 0.26130258, 0.27577711)
@@ -110,6 +125,8 @@ class GeneralizedRCNN(nn.Module):
     with_offline_backbone: bool = True
     region_consistency_boxes: int = 16
     v2l_image_size: int = 224
+    v2l_mapper_layers: int = 8
+    v2l_mapper_tokens: int = 40
     backbone_remat: bool = False
     use_pallas_roi_align: bool = False
     dtype: Any = jnp.float32
@@ -161,10 +178,27 @@ class GeneralizedRCNN(nn.Module):
             nms_thresh_test=self.nms_thresh_test,
             detections_per_image=self.detections_per_image,
             use_pallas_roi_align=self.use_pallas_roi_align,
+            mask_on=self.mask_on,
+            mask_num_conv=self.mask_num_conv,
+            mask_conv_dim=self.mask_conv_dim,
+            mask_cls_agnostic=self.mask_cls_agnostic,
+            mask_canvas_stride=self.mask_canvas_stride,
+            no_box_delta=self.no_box_delta,
+            multiply_rpn_score=self.multiply_rpn_score,
+            soft_nms_enabled=self.soft_nms_enabled,
+            soft_nms_method=self.soft_nms_method,
+            soft_nms_sigma=self.soft_nms_sigma,
+            soft_nms_prune=self.soft_nms_prune,
             dtype=self.dtype,
         )
         # frozen ClipCap mapper (v2l), loaded from VISION_TO_LANG_PATH
-        self.v2l_mapper = TransformerMapper(dim_clip=self.embed_dim, dtype=self.dtype)
+        self.v2l_mapper = TransformerMapper(
+            dim_clip=self.embed_dim,
+            prefix_length=self.v2l_mapper_tokens,
+            clip_length=self.v2l_mapper_tokens,
+            num_layers=self.v2l_mapper_layers,
+            dtype=self.dtype,
+        )
         # trainable contrastive head (rcnn.py:95-99)
         self.projector = Projector(in_dim=768, dtype=self.dtype)
         # image-consistency head (see module docstring: intended-behavior fix)
@@ -217,7 +251,7 @@ class GeneralizedRCNN(nn.Module):
             res5_fn=self.backbone.res5_forward,
             attnpool_fn=self.backbone.attnpool_forward if self.use_text_emb else None,
             gt_boxes=batch.gt_boxes, gt_classes=batch.gt_classes,
-            gt_valid=batch.gt_valid, rng=k2,
+            gt_valid=batch.gt_valid, gt_masks=batch.gt_masks, rng=k2,
         )
         return {**det_losses, **rpn_losses}
 
@@ -320,6 +354,34 @@ class GeneralizedRCNN(nn.Module):
         p_trgt = self.image_projector(r_trgt)
         return {"cont_loss": infonce_bidirectional(p_src, p_trgt)}
 
+    def caption_pl_prefixes(self, batch: DetBatch):
+        """`caption_pl_img` branch inputs (reference rcnn.py:556-564): CLIP
+        embeddings of both views; the src view is the pseudo-label teacher
+        (no_grad). The pseudo-caption decode + loss runs OUTSIDE this module
+        (engine/train_loop.py make_caption_pl_step) because the ClipCap GPT-2
+        is a separate frozen model with its own params."""
+        src = self._v2l_preprocess(batch.image)
+        trgt = self._v2l_preprocess(batch.image_trgt)
+        p_trgt = self.backbone.global_embed(trgt)
+        p_src = jax.lax.stop_gradient(self.backbone.global_embed(src))
+        return p_src, p_trgt
+
+    def caption_pl_region_prefixes(self, batch: DetBatch, rng: jax.Array):
+        """`caption_pl_region` branch inputs (reference rcnn.py:565-591):
+        region embeddings of the SAME 16 random proposals from both views."""
+        src = self._normalize(batch.image)
+        trgt = self._normalize(batch.image_trgt)
+        f_src = self.backbone(src)["res4"]
+        f_trgt = self.backbone(trgt)["res4"]
+        proposals, _ = self.proposal_generator(
+            jax.lax.stop_gradient(f_src), batch.image_sizes, training=True, compute_losses=False
+        )
+        boxes = self._random_region_boxes(proposals, rng)
+        r_src, r_trgt = self.roi_heads.forward_get_features(
+            f_src, f_trgt, boxes, self.backbone.res5_forward, self.backbone.attnpool_forward
+        )
+        return jax.lax.stop_gradient(r_src), r_trgt
+
     def cddmsl_losses(
         self,
         batch: DetBatch,
@@ -348,7 +410,7 @@ class GeneralizedRCNN(nn.Module):
             res5_fn=self.backbone.res5_forward,
             attnpool_fn=self.backbone.attnpool_forward if self.use_text_emb else None,
             gt_boxes=batch.gt_boxes, gt_classes=batch.gt_classes,
-            gt_valid=batch.gt_valid, rng=k_roi,
+            gt_valid=batch.gt_valid, gt_masks=batch.gt_masks, rng=k_roi,
         )
         losses = {**det_losses, **rpn_losses}
         if not enable_caption:

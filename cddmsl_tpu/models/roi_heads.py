@@ -32,6 +32,7 @@ from .fast_rcnn import (
     fast_rcnn_inference_single_image,
     fast_rcnn_losses,
 )
+from .mask_head import MaskRCNNConvUpsampleHead, crop_mask_targets, mask_rcnn_inference, mask_rcnn_loss
 from .matcher import Matcher
 from .rpn import Proposals
 from .sampling import gather_selected, subsample_labels
@@ -61,6 +62,21 @@ class CLIPRes5ROIHeads(nn.Module):
     detections_per_image: int = 100
     only_sample_fg: bool = False
     use_pallas_roi_align: bool = False  # experimental: ops/pallas kernel
+    # mask branch (reference roi_heads.py:375-401,480-534: box and mask share
+    # the pooled res5 features in C4 models)
+    mask_on: bool = False
+    mask_num_conv: int = 0
+    mask_conv_dim: int = 256
+    mask_cls_agnostic: bool = False
+    mask_canvas_stride: float = 4.0
+    # inference options (reference fast_rcnn.py:466-527, plumbed from
+    # MODEL.CLIP.* / MODEL.ROI_HEADS.SOFT_NMS_*)
+    no_box_delta: bool = False
+    multiply_rpn_score: bool = False
+    soft_nms_enabled: bool = False
+    soft_nms_method: str = "gaussian"
+    soft_nms_sigma: float = 0.5
+    soft_nms_prune: float = 0.001
     dtype: Any = jnp.float32
 
     def setup(self):
@@ -74,6 +90,14 @@ class CLIPRes5ROIHeads(nn.Module):
         )
         self.box2box = Box2BoxTransform(self.bbox_reg_weights)
         self.matcher = Matcher(self.iou_thresholds, self.iou_labels, allow_low_quality_matches=False)
+        if self.mask_on:
+            self.mask_head = MaskRCNNConvUpsampleHead(
+                num_classes=self.num_classes,
+                num_conv=self.mask_num_conv,
+                conv_dim=self.mask_conv_dim,
+                cls_agnostic=self.mask_cls_agnostic,
+                dtype=self.dtype,
+            )
 
     # ---------- sampling ----------
     def label_and_sample_proposals(
@@ -85,7 +109,8 @@ class CLIPRes5ROIHeads(nn.Module):
         gt_valid: jnp.ndarray,  # (B, G)
     ):
         """Returns per-image fixed-size samples:
-        boxes (B,S,4), classes (B,S) in [0,K], matched_gt (B,S,4), valid (B,S)."""
+        boxes (B,S,4), classes (B,S) in [0,K], matched_gt (B,S,4), valid (B,S),
+        matched_idx (B,S) — index of the matched GT row (for mask targets)."""
         b = proposals.boxes.shape[0]
         keys = jax.random.split(rng, b)
 
@@ -118,6 +143,7 @@ class CLIPRes5ROIHeads(nn.Module):
                 jnp.where(valid, classes[idx], self.num_classes),
                 gtb[matched_idxs[idx]],
                 valid,
+                matched_idxs[idx],
             )
 
         return jax.vmap(per_image)(
@@ -165,16 +191,20 @@ class CLIPRes5ROIHeads(nn.Module):
         gt_boxes: Optional[jnp.ndarray] = None,
         gt_classes: Optional[jnp.ndarray] = None,
         gt_valid: Optional[jnp.ndarray] = None,
+        gt_masks: Optional[jnp.ndarray] = None,
         rng: Optional[jax.Array] = None,
     ):
         b = features.shape[0]
         if training:
-            boxes, classes, matched_gt, valid = self.label_and_sample_proposals(
+            boxes, classes, matched_gt, valid, matched_idx = self.label_and_sample_proposals(
                 rng, proposals, gt_boxes, gt_classes, gt_valid
             )
-            region_feats = self._region_embed(features, boxes, res5_fn, attnpool_fn)
-            scores, deltas = self.box_predictor(region_feats)
             s = boxes.shape[1]
+            # box and mask heads share the pooled res5 features
+            # (reference roi_heads.py:488-506 Res5ROIHeads.forward)
+            r5 = res5_fn(self.pool(features, boxes))  # (B*S, P/2, P/2, C5)
+            region_feats = attnpool_fn(r5) if attnpool_fn is not None else jnp.mean(r5, axis=(1, 2))
+            scores, deltas = self.box_predictor(region_feats)
             losses = fast_rcnn_losses(
                 scores,
                 deltas,
@@ -189,6 +219,20 @@ class CLIPRes5ROIHeads(nn.Module):
                 focal_gamma=self.focal_gamma,
                 bg_loss_weight=self.bg_loss_weight,
             )
+            if self.mask_on:
+                assert gt_masks is not None, "MASK_ON training needs batch.gt_masks"
+                mask_logits = self.mask_head(r5)  # (B*S, P, P, K)
+                m = mask_logits.shape[1]
+                targets = jax.vmap(
+                    lambda cv, mi, bx: crop_mask_targets(
+                        cv, mi, bx, m, stride=self.mask_canvas_stride
+                    )
+                )(gt_masks, matched_idx, boxes)  # (B, S, m, m)
+                flat_classes = classes.reshape(b * s)
+                fg = valid.reshape(b * s) & (flat_classes >= 0) & (flat_classes < self.num_classes)
+                losses["loss_mask"] = mask_rcnn_loss(
+                    mask_logits, targets.reshape(b * s, m, m), flat_classes, fg
+                )
             return None, losses
 
         region_feats = self._region_embed(features, proposals.boxes, res5_fn, attnpool_fn)
@@ -197,7 +241,7 @@ class CLIPRes5ROIHeads(nn.Module):
         scores = scores.reshape(b, k, -1)
         deltas = deltas.reshape(b, k, -1)
 
-        def per_image(sc, dl, pb, pv, hw):
+        def per_image(sc, dl, pb, pv, ps, hw):
             return fast_rcnn_inference_single_image(
                 sc,
                 dl,
@@ -209,11 +253,27 @@ class CLIPRes5ROIHeads(nn.Module):
                 score_thresh=self.score_thresh_test,
                 nms_thresh=self.nms_thresh_test,
                 topk_per_image=self.detections_per_image,
+                no_box_delta=self.no_box_delta,
+                rpn_scores=ps,
+                multiply_rpn_score=self.multiply_rpn_score,
+                soft_nms_enabled=self.soft_nms_enabled,
+                soft_nms_method=self.soft_nms_method,
+                soft_nms_sigma=self.soft_nms_sigma,
+                soft_nms_prune=self.soft_nms_prune,
             )
 
         detections = jax.vmap(per_image)(
-            scores, deltas, proposals.boxes, proposals.valid, image_sizes
+            scores, deltas, proposals.boxes, proposals.valid, proposals.scores, image_sizes
         )
+        if self.mask_on:
+            # second shared-transform pass on the FINAL boxes (reference
+            # forward_with_given_boxes, roi_heads.py:513-534)
+            d = detections.boxes.shape[1]
+            r5 = res5_fn(self.pool(features, detections.boxes))
+            mask_logits = self.mask_head(r5)  # (B*D, P, P, K)
+            m = mask_logits.shape[1]
+            probs = mask_rcnn_inference(mask_logits, detections.classes.reshape(b * d))
+            detections = detections._replace(masks=probs.reshape(b, d, m, m))
         return detections, {}
 
     def _region_embed(self, features, boxes, res5_fn, attnpool_fn) -> jnp.ndarray:
@@ -288,7 +348,7 @@ class CLIPStandardROIHeads(nn.Module):
     def __call__(self, fpn_feats, proposals: Proposals, image_sizes, training: bool,
                  gt_boxes=None, gt_classes=None, gt_valid=None, rng=None):
         if training:
-            boxes, classes, matched_gt, valid = CLIPRes5ROIHeads.label_and_sample_proposals(
+            boxes, classes, matched_gt, valid, _ = CLIPRes5ROIHeads.label_and_sample_proposals(
                 self, rng, proposals, gt_boxes, gt_classes, gt_valid
             )
             feats = self._box_features(fpn_feats, boxes)

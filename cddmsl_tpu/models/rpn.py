@@ -42,10 +42,13 @@ def smooth_l1(pred: jnp.ndarray, target: jnp.ndarray, beta: float) -> jnp.ndarra
 
 
 class StandardRPNHead(nn.Module):
-    """3x3 conv + two sibling 1x1 convs (reference rpn.py:67)."""
+    """3x3 conv + two sibling 1x1 convs (reference rpn.py:67).
+    box_dim=5 gives the RRPN head (reference rrpn.py uses the same head with
+    5-d anchor deltas)."""
 
     num_anchors: int
     conv_dim: int
+    box_dim: int = 4
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -59,7 +62,8 @@ class StandardRPNHead(nn.Module):
             self.num_anchors, (1, 1), dtype=self.dtype, param_dtype=jnp.float32, name="objectness_logits"
         )(t)
         deltas = nn.Conv(
-            self.num_anchors * 4, (1, 1), dtype=self.dtype, param_dtype=jnp.float32, name="anchor_deltas"
+            self.num_anchors * self.box_dim, (1, 1), dtype=self.dtype, param_dtype=jnp.float32,
+            name="anchor_deltas"
         )(t)
         return logits, deltas
 

@@ -71,3 +71,47 @@ class Box2BoxTransform:
             axis=-1,
         )
         return out.reshape(shape)
+
+
+class Box2BoxTransformRotated:
+    """5-param rotated-box deltas (reference modeling/box_regression.py
+    Box2BoxTransformRotated): boxes are (cx, cy, w, h, angle_degrees); the
+    angle delta is in radians-scaled degrees (da = wa * diff * pi / 180) and
+    predicted angles are normalized to (-180, 180]."""
+
+    def __init__(self, weights: Sequence[float] = (10.0, 10.0, 5.0, 5.0, 1.0),
+                 scale_clamp: float = _DEFAULT_SCALE_CLAMP):
+        self.weights = tuple(float(w) for w in weights)
+        self.scale_clamp = scale_clamp
+
+    def get_deltas(self, src: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
+        wx, wy, ww, wh, wa = self.weights
+        sw = jnp.maximum(src[..., 2], 1e-4)
+        sh = jnp.maximum(src[..., 3], 1e-4)
+        dx = wx * (target[..., 0] - src[..., 0]) / sw
+        dy = wy * (target[..., 1] - src[..., 1]) / sh
+        dw = ww * jnp.log(jnp.maximum(target[..., 2], 1e-4) / sw)
+        dh = wh * jnp.log(jnp.maximum(target[..., 3], 1e-4) / sh)
+        da = target[..., 4] - src[..., 4]
+        da = (da + 180.0) % 360.0 - 180.0  # normalize to [-180, 180)
+        da = da * (wa * math.pi / 180.0)
+        return jnp.stack([dx, dy, dw, dh, da], axis=-1)
+
+    def apply_deltas(self, deltas: jnp.ndarray, boxes: jnp.ndarray) -> jnp.ndarray:
+        """deltas (..., K*5), boxes (..., 5) -> (..., K*5)."""
+        wx, wy, ww, wh, wa = self.weights
+        boxes = boxes.astype(deltas.dtype)
+        shape = deltas.shape
+        d = deltas.reshape(shape[:-1] + (-1, 5))
+        cx = boxes[..., 0][..., None]
+        cy = boxes[..., 1][..., None]
+        w = boxes[..., 2][..., None]
+        h = boxes[..., 3][..., None]
+        a = boxes[..., 4][..., None]
+        pred_cx = d[..., 0] / wx * w + cx
+        pred_cy = d[..., 1] / wy * h + cy
+        pred_w = jnp.exp(jnp.clip(d[..., 2] / ww, None, self.scale_clamp)) * w
+        pred_h = jnp.exp(jnp.clip(d[..., 3] / wh, None, self.scale_clamp)) * h
+        pred_a = a + d[..., 4] * (180.0 / math.pi) / wa
+        pred_a = (pred_a + 180.0) % 360.0 - 180.0
+        return jnp.stack([pred_cx, pred_cy, pred_w, pred_h, pred_a], axis=-1).reshape(shape)

@@ -52,7 +52,15 @@ def build_lr_schedule(cfg) -> Callable[[jnp.ndarray], jnp.ndarray]:
 
 
 # ---------------- freezing rules ----------------
-_ALWAYS_FROZEN_SUBTREES = ("offline_backbone", "v2l_mapper")
+_ALWAYS_FROZEN_SUBTREES = (
+    "offline_backbone",
+    "v2l_mapper",
+    # pretraining (PretrainFastRCNN): distillation teacher, frozen caption
+    # encoder and frozen concept pool
+    "teacher_backbone",
+    "lang_encoder",
+    "concept_emb",
+)
 _FROZEN_BN_PARAMS = ("running_mean", "running_var")
 
 

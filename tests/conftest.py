@@ -24,10 +24,14 @@ import pytest
 assert jax.default_backend() == "cpu", "tests must run on CPU"
 assert jax.device_count() == 8, "expected 8 virtual CPU devices"
 
-# persistent compile cache: XLA CPU compiles dominate suite runtime otherwise
+# persistent compile cache: XLA CPU compiles dominate suite runtime otherwise.
+# Skip XLA-level AOT artifacts: their host-feature stamps (+prefer-no-gather
+# etc.) fail to reload on some CPUs, so the cache would never hit and spam
+# cpu_aot_loader errors (the round-1 MULTICHIP failure mode).
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_cddmsl_tests")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_enable_xla_caches", "none")
 
 
 @pytest.fixture

@@ -13,10 +13,12 @@ from cddmsl_tpu.models.extra_meta_archs import (
 
 
 def test_proposal_network():
-    model = ProposalNetwork()
+    from cddmsl_tpu.utils.testing import materialize_params
+
+    model = ProposalNetwork(depth=10)
     batch = _synthetic_batch(1, 64, 96, g=4)
     rng = jax.random.PRNGKey(0)
-    params = model.init({"params": rng}, batch, rng)
+    params = materialize_params(lambda r, b: model.init({"params": r}, b, r), rng, batch)
     losses = model.apply(params, batch, rng)
     assert {"loss_rpn_cls", "loss_rpn_loc"} == set(losses)
     assert all(np.isfinite(float(v)) for v in losses.values())
@@ -25,7 +27,7 @@ def test_proposal_network():
 
 
 def test_semantic_segmentor(rng):
-    model = SemanticSegmentor(num_classes=7, depth=50)
+    model = SemanticSegmentor(num_classes=7, depth=10)
     imgs = jnp.asarray(rng.rand(1, 64, 64, 3).astype(np.float32) * 255)
     gt = jnp.asarray(rng.randint(0, 7, (1, 64, 64)))
     gt = gt.at[0, :8].set(255)  # ignore region

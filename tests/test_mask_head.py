@@ -12,7 +12,7 @@ from cddmsl_tpu.models.mask_head import (
 
 
 def test_mask_head_shapes_and_loss(rng):
-    head = MaskRCNNConvUpsampleHead(num_classes=5, conv_dims=(16, 16))
+    head = MaskRCNNConvUpsampleHead(num_classes=5, num_conv=2, conv_dim=16)
     x = jnp.asarray(rng.rand(4, 14, 14, 8).astype(np.float32))
     params = head.init(jax.random.PRNGKey(0), x)
     logits = head.apply(params, x)

@@ -72,9 +72,10 @@ def test_post_burnup_pseudo_and_discriminator(mt):
     assert float(metrics["loss_D"]) > 0.0
     # discriminator trained
     assert not _leaves_equal(new_state.dis_params, host.dis_params)
-    # EMA: teacher moved toward the student
-    old_t = jax.tree_util.tree_leaves(host.teacher_params)[0]
-    new_t = jax.tree_util.tree_leaves(new_state.teacher_params)[0]
+    # EMA: teacher moved toward the student — on a TRAINABLE leaf (frozen
+    # leaves never move in the student, so their EMA is exactly a no-op)
+    old_t = host.teacher_params["params"]["backbone"]["layer3_0"]["conv1"]["kernel"]
+    new_t = new_state.teacher_params["params"]["backbone"]["layer3_0"]["conv1"]["kernel"]
     assert not np.array_equal(np.asarray(old_t), np.asarray(new_t))
 
 

@@ -12,10 +12,12 @@ from cddmsl_tpu.models.retinanet import RetinaNet
 
 @pytest.fixture(scope="module")
 def retinanet():
-    model = RetinaNet(num_classes=8, topk_candidates=64, detections_per_image=20)
+    from cddmsl_tpu.utils.testing import materialize_params
+
+    model = RetinaNet(num_classes=8, depth=10, topk_candidates=64, detections_per_image=20)
     batch = _synthetic_batch(2, 64, 96, g=4)
     rng = jax.random.PRNGKey(0)
-    params = model.init({"params": rng}, batch, rng)
+    params = materialize_params(lambda r, b: model.init({"params": r}, b, r), rng, batch)
     return model, params, batch
 
 

@@ -19,7 +19,11 @@ def setup():
     model = build_model(cfg)
     rng = jax.random.PRNGKey(0)
     batch = _synthetic_batch(2, 64, 96, g=4)
-    params = model.init({"params": rng}, batch, rng, method=model.init_all)
+    from cddmsl_tpu.utils.testing import materialize_params
+
+    params = materialize_params(
+        lambda r, b: model.init({"params": r}, b, r, method=model.init_all), rng, batch
+    )
     optimizer = build_optimizer(cfg, params)
     return cfg, model, optimizer, params, batch
 

@@ -76,6 +76,15 @@ def test_default_trainer_end_to_end(tmp_path):
         cfg.MODEL.ROI_HEADS.BATCH_SIZE_PER_IMAGE = 32
         cfg.TPU.REGION_CONSISTENCY_BOXES = 4
         cfg.TPU.MESH_SHAPE = [1]
+        # compile-light network + structure-only init: this test exercises
+        # the TRAINER stack (loaders/step/checkpoint/eval), not RN50 depth
+        cfg.TPU.BACKBONE_LAYERS = [1, 1, 1, 1]
+        cfg.TPU.BACKBONE_WIDTH = 16
+        cfg.TPU.EMBED_DIM = 128
+        cfg.TPU.V2L_MAPPER_LAYERS = 2
+        cfg.TPU.V2L_MAPPER_TOKENS = 8
+        cfg.TPU.REMAT_BACKBONE = False
+        cfg.TPU.FAST_INIT = True
 
         from cddmsl_tpu.engine.defaults import DefaultTrainer
 

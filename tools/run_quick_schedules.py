@@ -1,0 +1,78 @@
+#!/usr/bin/env python
+"""Golden-metric regression harness (the reference's quick_schedules CI
+pattern: configs/quick_schedules/* + TEST.EXPECTED_RESULTS checked by
+evaluation/testing.py verify_results via tools/train_net.py:163-167).
+
+Runs each quick_schedules config against the deterministic synthetic VOC
+fixture (cddmsl_tpu/data/datasets/synthetic.py), trains if MAX_ITER > 0,
+evaluates, and checks TEST.EXPECTED_RESULTS. Nonzero exit on any failure.
+
+  python tools/run_quick_schedules.py                 # all configs
+  python tools/run_quick_schedules.py rcnn_instant    # name filter
+"""
+
+import glob
+import os
+import sys
+import tempfile
+import traceback
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+CONFIG_DIR = os.path.join(os.path.dirname(__file__), "..", "configs", "quick_schedules")
+
+
+def run_one(config_file: str, fixture_root: str) -> bool:
+    from cddmsl_tpu.config import add_ateacher_config, get_cfg
+    from cddmsl_tpu.data.datasets.synthetic import register_synthetic_quick
+    from cddmsl_tpu.engine.defaults import DefaultTrainer
+    from cddmsl_tpu.evaluation import verify_results
+
+    register_synthetic_quick(fixture_root)
+
+    cfg = get_cfg()
+    add_ateacher_config(cfg)
+    cfg.merge_from_file(config_file)
+    cfg.OUTPUT_DIR = os.path.join(fixture_root, "out", os.path.basename(config_file))
+    cfg.freeze()
+    os.makedirs(cfg.OUTPUT_DIR, exist_ok=True)
+
+    trainer = DefaultTrainer(cfg)
+    trainer.resume_or_load(resume=False)
+    if cfg.SOLVER.MAX_ITER > 0:
+        results = trainer.train()  # ends with a final test (+ internal verify)
+    else:
+        results = trainer.test(cfg, trainer.state)
+    if len(results) == 1:
+        return verify_results(cfg, next(iter(results.values())))
+    return all(verify_results(cfg, r) for r in results.values())
+
+
+def main():
+    name_filter = sys.argv[1] if len(sys.argv) > 1 else ""
+    configs = sorted(glob.glob(os.path.join(CONFIG_DIR, "*.yaml")))
+    configs = [c for c in configs if name_filter in os.path.basename(c)]
+    if not configs:
+        print(f"no quick_schedules configs matching {name_filter!r}")
+        sys.exit(2)
+    failures = []
+    for c in configs:
+        name = os.path.basename(c)
+        print(f"=== {name} ===", flush=True)
+        with tempfile.TemporaryDirectory(prefix="qs_fixture_") as root:
+            try:
+                ok = run_one(c, root)
+            except Exception:
+                traceback.print_exc()
+                ok = False
+        print(f"=== {name}: {'PASS' if ok else 'FAIL'} ===", flush=True)
+        if not ok:
+            failures.append(name)
+    if failures:
+        print("FAILED:", ", ".join(failures))
+        sys.exit(1)
+    print(f"all {len(configs)} quick_schedules passed")
+
+
+if __name__ == "__main__":
+    main()
