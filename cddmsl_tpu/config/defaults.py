@@ -126,6 +126,22 @@ def get_default_cfg() -> CfgNode:
     _C.MODEL.ROI_BOX_HEAD.CLS_AGNOSTIC_BBOX_REG = False
     _C.MODEL.ROI_BOX_HEAD.TRAIN_ON_PRED_BOXES = False
 
+    # ---------------- MODEL.SEM_SEG_HEAD (reference defaults.py:350-370) ----------------
+    _C.MODEL.SEM_SEG_HEAD = CfgNode()
+    _C.MODEL.SEM_SEG_HEAD.NAME = "SemSegFPNHead"
+    _C.MODEL.SEM_SEG_HEAD.NUM_CLASSES = 54
+    _C.MODEL.SEM_SEG_HEAD.IGNORE_VALUE = 255
+    _C.MODEL.SEM_SEG_HEAD.CONVS_DIM = 128
+    _C.MODEL.SEM_SEG_HEAD.COMMON_STRIDE = 4
+    _C.MODEL.SEM_SEG_HEAD.LOSS_WEIGHT = 1.0
+    _C.MODEL.PANOPTIC_FPN = CfgNode()
+    _C.MODEL.PANOPTIC_FPN.INSTANCE_LOSS_WEIGHT = 1.0
+    _C.MODEL.PANOPTIC_FPN.COMBINE = CfgNode()
+    _C.MODEL.PANOPTIC_FPN.COMBINE.ENABLED = True
+    _C.MODEL.PANOPTIC_FPN.COMBINE.OVERLAP_THRESH = 0.5
+    _C.MODEL.PANOPTIC_FPN.COMBINE.STUFF_AREA_LIMIT = 4096
+    _C.MODEL.PANOPTIC_FPN.COMBINE.INSTANCES_CONFIDENCE_THRESH = 0.5
+
     # ---------------- MODEL.ROI_MASK_HEAD (reference defaults.py:460-470) ----------------
     _C.MODEL.ROI_MASK_HEAD = CfgNode()
     _C.MODEL.ROI_MASK_HEAD.NAME = "MaskRCNNConvUpsampleHead"

@@ -143,6 +143,33 @@ def build_pretrain_fast_rcnn(cfg):
     )
 
 
+@META_ARCH_REGISTRY.register()
+def build_panoptic_fpn(cfg):
+    from .panoptic_fpn import PanopticFPN
+
+    return PanopticFPN(
+        num_classes=cfg.MODEL.ROI_HEADS.NUM_CLASSES,
+        sem_seg_classes=cfg.MODEL.SEM_SEG_HEAD.NUM_CLASSES,
+        depth=cfg.MODEL.RESNETS.DEPTH,
+        pixel_mean=tuple(cfg.MODEL.PIXEL_MEAN),
+        pixel_std=tuple(cfg.MODEL.PIXEL_STD),
+        dtype=_dtype(cfg),
+    )
+
+
+@META_ARCH_REGISTRY.register()
+def build_rotated_fast_rcnn(cfg):
+    from .rotated_rcnn import RotatedFastRCNN
+
+    return RotatedFastRCNN(
+        num_classes=cfg.MODEL.ROI_HEADS.NUM_CLASSES,
+        depth=cfg.MODEL.RESNETS.DEPTH,
+        pixel_mean=tuple(cfg.MODEL.PIXEL_MEAN),
+        pixel_std=tuple(cfg.MODEL.PIXEL_STD),
+        dtype=_dtype(cfg),
+    )
+
+
 def build_model(cfg):
     """cfg.MODEL.META_ARCHITECTURE -> flax module (params are created
     separately with module.init — JAX models are pure functions)."""
@@ -151,6 +178,9 @@ def build_model(cfg):
         "GeneralizedRCNN": build_generalized_rcnn,
         "RetinaNet": build_retinanet,
         "CLIPFastRCNN": build_clip_fast_rcnn,
+        "PretrainFastRCNN": build_pretrain_fast_rcnn,
+        "PanopticFPN": build_panoptic_fpn,
+        "RotatedFastRCNN": build_rotated_fast_rcnn,
     }.get(name)
     if builder is None:
         if name in META_ARCH_REGISTRY:

@@ -22,6 +22,35 @@ import jax.numpy as jnp
 from ..structures.boxes import pairwise_iou
 
 _TILE = 256
+_CHUNK = 16  # unrolled sub-chunk of the within-tile greedy resolution
+
+
+def _resolve_tile(active0: jnp.ndarray, sup_mask: jnp.ndarray, chunk: int = _CHUNK) -> jnp.ndarray:
+    """EXACT greedy resolution within one tile, with NO data-dependent loops.
+
+    The Jacobi fixpoint `x <- active & ~suppressed_by(x)` finalizes row j
+    after j+1 iterations (row 0 is immediately final; row j depends only on
+    earlier rows). Iterating `chunk` times over a `chunk`-row slice is
+    therefore exact, and the slices chain sequentially with their suppression
+    pushed forward. Everything unrolls into straight-line vector ops — on TPU
+    this replaces hundreds of `while` iterations (each with fixed loop
+    latency) by a few hundred trivially-scheduled VPU ops.
+
+    active0: (T,) candidate mask; sup_mask: (T, T) strictly upper-triangular
+    in score order. Returns the greedy keep mask (T,).
+    """
+    t = active0.shape[0]
+    kept = jnp.zeros_like(active0)
+    later_sup = jnp.zeros_like(active0)  # suppression from decided rows
+    for c in range(0, t, chunk):
+        a = active0[c : c + chunk] & ~later_sup[c : c + chunk]
+        sub = sup_mask[c : c + chunk, c : c + chunk]
+        cur = a
+        for _ in range(min(chunk, t - c)):
+            cur = a & ~jnp.any(sub & cur[:, None], axis=0)
+        kept = jax.lax.dynamic_update_slice(kept, cur, (c,))
+        later_sup = later_sup | jnp.any(sup_mask[c : c + chunk, :] & cur[:, None], axis=0)
+    return kept
 
 
 def _pad_to_multiple(x: jnp.ndarray, multiple: int, axis: int = 0, value=0):
@@ -76,22 +105,12 @@ def nms_mask(
         sup_prev = jnp.any((iou_cross > iou_threshold) & (kept & earlier)[None, :], axis=1)
         active0 = tv & ~sup_prev
 
-        # within-tile fixpoint to the greedy solution
+        # within-tile greedy resolution (exact, unrolled)
         iou_self = pairwise_iou(tb, tb)
         rows = jnp.arange(tile)
         upper = rows[None, :] > rows[:, None]  # col strictly after row in score order
         sup_mask = (iou_self > iou_threshold) & upper
-
-        def cond(state):
-            cur, prev, it = state
-            return jnp.logical_and(it < tile, jnp.any(cur != prev))
-
-        def body(state):
-            cur, _, it = state
-            sup = jnp.any(sup_mask & cur[:, None], axis=0)
-            return active0 & ~sup, cur, it + 1
-
-        kept_tile, _, _ = jax.lax.while_loop(cond, body, (active0, ~active0, 0))
+        kept_tile = _resolve_tile(active0, sup_mask)
         return jax.lax.dynamic_update_slice(kept, kept_tile, (start,))
 
     kept_sorted = jax.lax.fori_loop(
@@ -109,8 +128,19 @@ def nms(
     iou_threshold: float,
     max_out: int,
     valid: Optional[jnp.ndarray] = None,
+    tile: int = _TILE,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Greedy NMS returning fixed-size top-`max_out` kept indices.
+
+    Kept-buffer algorithm (the perf-critical form; exact): boxes are sorted
+    by score and processed in tiles; each tile is suppressed against a
+    COMPACTED buffer of the boxes kept so far (capacity max_out — greedy
+    suppression can only come from kept earlier boxes, and only the first
+    `max_out` kept are returned), then resolved internally by the same
+    strictly-upper-triangular fixpoint as `nms_mask`. The tile loop EXITS
+    EARLY once `max_out` boxes are kept. Versus the full-mask form this does
+    O(tile x max_out) instead of O(tile x N) suppression work per tile and
+    usually stops after a fraction of the tiles.
 
     Returns:
       idx: (max_out,) int32 indices into the input, score-descending; padded
@@ -118,15 +148,84 @@ def nms(
       out_valid: (max_out,) bool.
     """
     n = boxes.shape[0]
-    keep = nms_mask(boxes, scores, iou_threshold, valid=valid)
+    if valid is None:
+        valid = jnp.ones((n,), dtype=bool)
+    if max_out >= n:
+        # buffer would not be smaller than the input: use the mask form
+        keep = nms_mask(boxes, scores, iou_threshold, valid=valid, tile=tile)
+        neg_inf = jnp.asarray(-jnp.inf, scores.dtype)
+        kept_scores = jnp.where(keep, scores, neg_inf)
+        top_scores, idx = jax.lax.top_k(kept_scores, min(max_out, n))
+        out_valid = top_scores > neg_inf
+        idx = jnp.where(out_valid, idx, 0)
+        if max_out > n:
+            idx = jnp.pad(idx, (0, max_out - n))
+            out_valid = jnp.pad(out_valid, (0, max_out - n))
+        return idx.astype(jnp.int32), out_valid
+
     neg_inf = jnp.asarray(-jnp.inf, scores.dtype)
-    kept_scores = jnp.where(keep, scores, neg_inf)
-    top_scores, idx = jax.lax.top_k(kept_scores, min(max_out, n))
-    out_valid = top_scores > neg_inf
-    idx = jnp.where(out_valid, idx, 0)
-    if max_out > n:
-        idx = jnp.pad(idx, (0, max_out - n))
-        out_valid = jnp.pad(out_valid, (0, max_out - n))
+    masked_scores = jnp.where(valid, scores, neg_inf)
+    _, order = jax.lax.top_k(masked_scores, n)  # stable: ties keep lower index
+    bs = boxes[order]
+    vs = valid[order]
+
+    bs_p = _pad_to_multiple(bs, tile)
+    vs_p = _pad_to_multiple(vs, tile)
+    n_pad = bs_p.shape[0]
+    num_tiles = n_pad // tile
+
+    cap = -(-max_out // 128) * 128  # kept-buffer capacity, lane-aligned
+    buf_len = cap + tile  # slack so the tile block-write never clamps
+    rows = jnp.arange(tile)
+    upper = rows[None, :] > rows[:, None]
+
+    def body(state):
+        i, buf_boxes, buf_pos, count = state
+        start = i * tile
+        tb = jax.lax.dynamic_slice(bs_p, (start, 0), (tile, 4))
+        tv = jax.lax.dynamic_slice(vs_p, (start,), (tile,))
+
+        # suppression by the kept buffer (all buffered boxes rank earlier)
+        iou_buf = pairwise_iou(tb, buf_boxes)  # (T, buf_len)
+        col_live = jnp.arange(buf_len) < count
+        sup_prev = jnp.any((iou_buf > iou_threshold) & col_live[None, :], axis=1)
+        active0 = tv & ~sup_prev
+
+        # within-tile greedy resolution (exact, unrolled — as nms_mask)
+        iou_self = pairwise_iou(tb, tb)
+        sup_mask = (iou_self > iou_threshold) & upper
+        kept_tile = _resolve_tile(active0, sup_mask)
+
+        # compact the tile's kept boxes into the buffer: stable sort brings
+        # kept rows to the front (score order preserved), then ONE contiguous
+        # dynamic_update_slice at offset `count` — scatters serialize on TPU
+        # (~tens of us/row), sort+block-write does not. Rows written past the
+        # kept count are garbage but stay dead: the buffer is masked by
+        # `count` and later tiles overwrite them before `count` reaches them.
+        key = jnp.where(kept_tile, rows, tile + rows)
+        perm = jnp.argsort(key)
+        buf_boxes = jax.lax.dynamic_update_slice(buf_boxes, tb[perm], (count, 0))
+        buf_pos = jax.lax.dynamic_update_slice(buf_pos, (start + rows)[perm], (count,))
+        count = jnp.minimum(count + jnp.sum(kept_tile), cap)
+        return i + 1, buf_boxes, buf_pos, count
+
+    def cond(state):
+        i, _, _, count = state
+        return jnp.logical_and(i < num_tiles, count < max_out)
+
+    init = (
+        jnp.zeros((), jnp.int32),
+        jnp.zeros((buf_len, 4), bs_p.dtype),
+        jnp.full((buf_len,), n_pad, jnp.int32),  # sorted-order positions
+        jnp.zeros((), jnp.int32),
+    )
+    _, _, buf_pos, count = jax.lax.while_loop(cond, body, init)
+
+    out_valid = jnp.arange(max_out) < jnp.minimum(count, max_out)
+    pos = buf_pos[:max_out]
+    # map sorted positions back to original indices
+    order_pad = jnp.concatenate([order, jnp.zeros((n_pad - n,), order.dtype)])
+    idx = jnp.where(out_valid, order_pad[jnp.clip(pos, 0, n_pad - 1)], 0)
     return idx.astype(jnp.int32), out_valid
 
 

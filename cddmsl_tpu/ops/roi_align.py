@@ -91,7 +91,16 @@ def roi_align(
         w_roi = x2 - x1
         h_roi = y2 - y1
 
-    f2d = features.reshape(H, W * C)
+    # contraction order: interpolate the axis that leaves the SMALLER
+    # (HBM-resident, layout-copied) intermediate first — x-first gives
+    # (r, H, PW, C) cells = H*PW vs y-first's PH*W; for C4 maps (H≈50, W≈84,
+    # P=14) x-first is ~40% smaller and the intermediate's reshape/layout
+    # traffic dominates the pool cost (xprof, docs/PERF.md round 2)
+    x_first = H * PW < PH * W
+    if x_first:
+        f2d = jnp.transpose(features, (1, 0, 2)).reshape(W, H * C)  # tiny map transpose
+    else:
+        f2d = features.reshape(H, W * C)
 
     def pool_chunk(args):
         y1c, h_c, x1c, w_c = args
@@ -104,18 +113,32 @@ def roi_align(
         precision = (
             jax.lax.Precision.HIGHEST if features.dtype == jnp.float32 else jax.lax.Precision.DEFAULT
         )
-        # (r*PH, H) @ (H, W*C) -> (r, PH, W, C)
-        mid = jnp.matmul(
-            wy.reshape(r * PH, H).astype(features.dtype), f2d, precision=precision
-        ).reshape(r, PH, W, C)
-        # contract W: (r, PW, W) x (r, PH, W, C) -> (r, PH, PW, C)
-        out = jnp.einsum(
-            "rqw,rpwc->rpqc",
-            wx.astype(features.dtype),
-            mid,
-            precision=precision,
-            preferred_element_type=jnp.float32,
-        )
+        if x_first:
+            # (r*PW, W) @ (W, H*C) -> (r, PW, H, C)
+            mid = jnp.matmul(
+                wx.reshape(r * PW, W).astype(features.dtype), f2d, precision=precision
+            ).reshape(r, PW, H, C)
+            # contract H: (r, PH, H) x (r, PW, H, C) -> (r, PH, PW, C)
+            out = jnp.einsum(
+                "rph,rqhc->rpqc",
+                wy.astype(features.dtype),
+                mid,
+                precision=precision,
+                preferred_element_type=jnp.float32,
+            )
+        else:
+            # (r*PH, H) @ (H, W*C) -> (r, PH, W, C)
+            mid = jnp.matmul(
+                wy.reshape(r * PH, H).astype(features.dtype), f2d, precision=precision
+            ).reshape(r, PH, W, C)
+            # contract W: (r, PW, W) x (r, PH, W, C) -> (r, PH, PW, C)
+            out = jnp.einsum(
+                "rqw,rpwc->rpqc",
+                wx.astype(features.dtype),
+                mid,
+                precision=precision,
+                preferred_element_type=jnp.float32,
+            )
         return out.astype(features.dtype)
 
     if R <= chunk_size:

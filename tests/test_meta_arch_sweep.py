@@ -152,3 +152,38 @@ def test_panoptic_fpn_e2e():
     assert pan.shape == (64, 64)
     ids = {s["id"] for s in segs}
     assert set(np.unique(pan)) - {0} == ids
+
+
+def test_regnet_backbone():
+    from cddmsl_tpu.models.backbone.regnet import RegNet, generate_regnet_parameters
+
+    ws, ds, gw = generate_regnet_parameters(24.48, 24, 2.54, 22, 16)
+    assert len(ws) == len(ds) <= 4 and sum(ds) == 22
+    assert all(w % gw == 0 for w in ws)
+
+    # w_a=16, w_0=16, w_m=2, depth=8 -> 4 stages [16, 32, 64, 128]
+    m = RegNet(w_a=16.0, w_0=16, w_m=2.0, depth=8, group_width=8,
+               out_features=("s3", "s4"))
+    x = jnp.zeros((1, 64, 64, 3))
+    params = materialize_params(lambda r: m.init(r, x), jax.random.PRNGKey(0))
+    out = m.apply(params, x)
+    assert set(out) == {"s3", "s4"}
+    assert out["s4"].shape[1] == 64 // 32
+
+    # RegNetY (SE) variant builds and runs too
+    my = RegNet(w_a=16.0, w_0=16, w_m=2.0, depth=8, group_width=8, se_ratio=0.25,
+                out_features=("s4",))
+    py = materialize_params(lambda r: my.init(r, x), jax.random.PRNGKey(1))
+    assert my.apply(py, x)["s4"].shape[-1] > 0
+
+
+def test_basic_block_resnet18():
+    from cddmsl_tpu.models.backbone.resnet import D2ResNet
+
+    m = D2ResNet(depth=18, out_features=("res4", "res5"))
+    x = jnp.zeros((1, 64, 64, 3))
+    params = materialize_params(lambda r: m.init(r, x), jax.random.PRNGKey(0))
+    out = m.apply(params, x)
+    # BasicBlock: res2 out = 64 -> res4 = 256, res5 = 512 channels
+    assert out["res4"].shape[-1] == 256
+    assert out["res5"].shape[-1] == 512

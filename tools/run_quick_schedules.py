@@ -19,6 +19,19 @@ import traceback
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
+# Golden metrics are pinned on the CPU backend: deterministic across hosts
+# (TPU matmuls use reduced MXU precision and would shift the pinned values).
+os.environ.setdefault("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in os.environ["XLA_FLAGS"]:
+    os.environ["XLA_FLAGS"] += " --xla_force_host_platform_device_count=8"
+os.environ["JAX_PLATFORMS"] = "cpu"
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_cddmsl_tests")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+jax.config.update("jax_persistent_cache_enable_xla_caches", "none")
+
 CONFIG_DIR = os.path.join(os.path.dirname(__file__), "..", "configs", "quick_schedules")
 
 
@@ -56,18 +69,20 @@ def main():
         print(f"no quick_schedules configs matching {name_filter!r}")
         sys.exit(2)
     failures = []
-    for c in configs:
-        name = os.path.basename(c)
-        print(f"=== {name} ===", flush=True)
-        with tempfile.TemporaryDirectory(prefix="qs_fixture_") as root:
+    # ONE fixture root for the whole run: catalog registrations are process
+    # global and must outlive every config
+    with tempfile.TemporaryDirectory(prefix="qs_fixture_") as root:
+        for c in configs:
+            name = os.path.basename(c)
+            print(f"=== {name} ===", flush=True)
             try:
                 ok = run_one(c, root)
             except Exception:
                 traceback.print_exc()
                 ok = False
-        print(f"=== {name}: {'PASS' if ok else 'FAIL'} ===", flush=True)
-        if not ok:
-            failures.append(name)
+            print(f"=== {name}: {'PASS' if ok else 'FAIL'} ===", flush=True)
+            if not ok:
+                failures.append(name)
     if failures:
         print("FAILED:", ", ".join(failures))
         sys.exit(1)
