@@ -287,6 +287,11 @@ def get_default_cfg() -> CfgNode:
     _C.TPU.MAX_GT_BOXES = 100
     _C.TPU.PAD_SIZE_TRAIN = [800, 1344]   # H, W after resize; multiple of 16
     _C.TPU.PAD_SIZE_TEST = [800, 1344]
+    # optional pad-bucket LADDER: list of [H, W] (landscape); each image goes
+    # to the smallest bucket that fits (either orientation). One compiled
+    # step per bucket x orientation. E.g. [[800, 1088], [800, 1344]] cuts
+    # ~20% backbone FLOPs on VOC's ~4:3 images (docs/PERF.md lever #2).
+    _C.TPU.PAD_BUCKETS = []
     _C.TPU.NMS_PAD = 0                 # 0 = use POST_NMS_TOPK
     _C.TPU.REGION_CONSISTENCY_BOXES = 16  # randperm[:16] in reference rcnn.py:437
     _C.TPU.V2L_IMAGE_SIZE = 224

@@ -182,9 +182,24 @@ def pad_and_collate(
     )
 
 
-def _bucket_for(sample: dict, pad_hw: Tuple[int, int]) -> Tuple[int, int]:
-    """Two static buckets: landscape (H, W) and portrait (W, H)."""
+def _bucket_for(
+    sample: dict, pad_hw: Tuple[int, int], buckets: Optional[Sequence[Tuple[int, int]]] = None
+) -> Tuple[int, int]:
+    """Static pad-bucket choice. Without a ladder: two buckets — landscape
+    (H, W) and portrait (W, H). With `buckets` (cfg.TPU.PAD_BUCKETS): the
+    smallest ladder entry that fits, in the image's orientation; each bucket
+    compiles its own step (one-time cost), every smaller image pays less
+    backbone FLOPs (docs/PERF.md lever #2)."""
     h, w = sample["image"].shape[:2]
+    if buckets:
+        cands = []
+        for bh, bw in buckets:
+            lo, hi = min(bh, bw), max(bh, bw)
+            key = (lo, hi) if w >= h else (hi, lo)
+            if h <= key[0] and w <= key[1]:
+                cands.append((key[0] * key[1], key))
+        if cands:
+            return min(cands)[1]
     H, W = min(pad_hw), max(pad_hw)
     return (H, W) if w >= h else (W, H)
 
@@ -234,6 +249,7 @@ def build_detection_train_loader(
     pad_hw = tuple(cfg.TPU.PAD_SIZE_TRAIN)
     max_gt = cfg.TPU.MAX_GT_BOXES
     mask_stride = cfg.TPU.MASK_CANVAS_STRIDE if cfg.MODEL.MASK_ON else 0
+    bucket_ladder = [tuple(b) for b in cfg.TPU.PAD_BUCKETS]
     aspect_grouping = cfg.DATALOADER.ASPECT_RATIO_GROUPING
 
     def gen():
@@ -241,7 +257,7 @@ def build_detection_train_loader(
         buckets = {}
         for idx in sampler:
             sample = mapper(dicts[idx], rng)
-            key = _bucket_for(sample, pad_hw) if aspect_grouping else (max(pad_hw), max(pad_hw))
+            key = _bucket_for(sample, pad_hw, bucket_ladder) if aspect_grouping else (max(pad_hw), max(pad_hw))
             buckets.setdefault(key, []).append(sample)
             if len(buckets[key]) == batch_size:
                 group, buckets[key] = buckets[key], []

@@ -173,11 +173,19 @@ class DefaultPredictor:
 
         det = _jax.device_get(det)
         keep = det.valid[0]
-        return {
+        out = {
             "boxes": np.asarray(det.boxes[0])[keep],
             "scores": np.asarray(det.scores[0])[keep],
             "classes": np.asarray(det.classes[0])[keep],
         }
+        if det.masks is not None:
+            # paste box-space mask probs into original-image space (MASK_ON)
+            from ..evaluation.masks import paste_masks_np
+
+            out["masks"] = paste_masks_np(
+                np.asarray(det.masks[0])[keep], out["boxes"], original_image.shape[:2]
+            )
+        return out
 
 
 class _SyncedPeriodicCheckpointer:

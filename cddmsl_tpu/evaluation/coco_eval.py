@@ -177,6 +177,7 @@ class COCOEvaluator:
     def _evaluate_task(self, task: str) -> Dict[str, float]:
         ap_per_class = {area: [] for area in AREA_RANGES}
         ap50, ap75 = [], []
+        named = {}  # per-category AP (reference COCOEvaluator "AP-{cat}")
         for c in range(self.num_classes):
             has_gt = any(len(v) for v in self._gts.get(c, {}).values())
             if not has_gt:
@@ -188,9 +189,12 @@ class COCOEvaluator:
                 else:
                     ap = float(np.mean(precisions))
                 ap_per_class[area].append(ap)
-                if area == "all" and precisions is not None:
-                    ap50.append(float(np.mean(precisions[0])))
-                    ap75.append(float(np.mean(precisions[5])))
+                if area == "all":
+                    if self.class_names and c < len(self.class_names):
+                        named[f"AP-{self.class_names[c]}"] = 100 * ap if np.isfinite(ap) else float("nan")
+                    if precisions is not None:
+                        ap50.append(float(np.mean(precisions[0])))
+                        ap75.append(float(np.mean(precisions[5])))
         return {
             "AP": 100 * float(np.nanmean(ap_per_class["all"])) if ap_per_class["all"] else float("nan"),
             "AP50": 100 * float(np.mean(ap50)) if ap50 else float("nan"),
@@ -198,6 +202,7 @@ class COCOEvaluator:
             "APs": 100 * float(np.nanmean(ap_per_class["small"])) if ap_per_class["small"] else float("nan"),
             "APm": 100 * float(np.nanmean(ap_per_class["medium"])) if ap_per_class["medium"] else float("nan"),
             "APl": 100 * float(np.nanmean(ap_per_class["large"])) if ap_per_class["large"] else float("nan"),
+            **named,
         }
 
     def _class_pr(self, c: int, area_lo: float, area_hi: float, task: str = "bbox"):

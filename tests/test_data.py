@@ -269,3 +269,18 @@ def test_input_crop_wired():
     tc = t.apply_coords(pts)
     np.testing.assert_allclose(tb[0, :2], tc[0])
     np.testing.assert_allclose(tb[0, 2:], tc[1])
+
+
+def test_pad_bucket_ladder():
+    from cddmsl_tpu.data.build import _bucket_for
+
+    ladder = [(800, 1088), (800, 1344)]
+    small = {"image": np.zeros((600, 800, 3), np.uint8)}
+    wide = {"image": np.zeros((700, 1300, 3), np.uint8)}
+    portrait = {"image": np.zeros((1000, 750, 3), np.uint8)}
+    assert _bucket_for(small, (800, 1344), ladder) == (800, 1088)
+    assert _bucket_for(wide, (800, 1344), ladder) == (800, 1344)
+    assert _bucket_for(portrait, (800, 1344), ladder) == (1088, 800)
+    # no ladder: two-orientation behavior unchanged
+    assert _bucket_for(small, (800, 1344)) == (800, 1344)
+    assert _bucket_for(portrait, (800, 1344)) == (1344, 800)

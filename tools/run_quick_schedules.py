@@ -56,6 +56,10 @@ def run_one(config_file: str, fixture_root: str) -> bool:
         results = trainer.train()  # ends with a final test (+ internal verify)
     else:
         results = trainer.test(cfg, trainer.state)
+    for ds, res in results.items():
+        for task, metrics in res.items():
+            shown = {k: round(v, 3) for k, v in metrics.items() if "-" not in k}
+            print(f"  {ds}/{task}: {shown}", flush=True)
     if len(results) == 1:
         return verify_results(cfg, next(iter(results.values())))
     return all(verify_results(cfg, r) for r in results.values())
