@@ -24,7 +24,7 @@ sets — is ONE jitted program with `lax.cond` phase gating.
 import logging
 import os
 import time
-from typing import Any, Dict
+from typing import Any, Dict, Optional
 
 import jax
 import jax.numpy as jnp
@@ -125,6 +125,27 @@ class MeanTeacherTrainer(DefaultTrainer):
             teacher_params=jax.tree_util.tree_map(jnp.array, self.state.params),
             step=self.state.step,
         )
+
+    def compute_val_loss(self, batch: DetBatch, rng: Optional[jax.Array] = None):
+        """Supervised losses on a labeled val batch WITHOUT a gradient step
+        (the reference's compute_val_loss path through
+        CLIPRes5ROIHeadsPseudoLab/PseudoLabRPN, clip_roi_heads.py:581-775):
+        used to monitor val loss during mean-teacher training."""
+        rng = rng if rng is not None else jax.random.PRNGKey(0)
+        if not hasattr(self, "_val_loss_fn"):
+            model = self.model
+
+            @jax.jit
+            def _fn(params, b, r):
+                return model.apply(params, b, r, method=model.supervised_losses)
+
+            self._val_loss_fn = _fn
+        return {
+            k: float(v)
+            for k, v in jax.device_get(
+                self._val_loss_fn(self.mt_state.params, batch, rng)
+            ).items()
+        }
 
     def _pseudo_label(self, teacher_params, weak_batch: DetBatch):
         """Teacher inference on the weak view -> thresholded pseudo GT

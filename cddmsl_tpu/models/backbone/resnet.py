@@ -99,24 +99,18 @@ class D2ResNet(nn.Module):
         # reference resnet.py: depth 18/34 use BasicBlock and RES2_OUT=64
         return self.depth in (18, 34)
 
-    @nn.compact
-    def __call__(self, x) -> Dict[str, jnp.ndarray]:
+    def setup(self):
         d = self.dtype
-        x = nn.Conv(
+        self._stem_conv = nn.Conv(
             self.stem_out_channels, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)],
             use_bias=False, dtype=d, param_dtype=jnp.float32, name="stem_conv1",
-        )(x.astype(d))
-        x = nn.relu(FrozenBatchNorm(self.stem_out_channels, dtype=d, name="stem_bn1")(x))
-        x = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), constant_values=-jnp.inf)
-        x = nn.max_pool(x, (3, 3), strides=(2, 2))
-        outputs = {}
-        if "stem" in self.out_features:
-            outputs["stem"] = x
-
+        )
+        self._stem_bn = FrozenBatchNorm(self.stem_out_channels, dtype=d, name="stem_bn1")
         blocks = D2_RESNET_SPECS[self.depth]
         basic = self.use_basic_block
         out_ch = 64 if basic else self.res2_out_channels
         bottleneck_ch = self.width_per_group
+        stages = {}
         for stage_idx, (name, n_blocks) in enumerate(
             zip(("res2", "res3", "res4", "res5"), blocks)
         ):
@@ -124,16 +118,17 @@ class D2ResNet(nn.Module):
             dilation = self.res5_dilation if name == "res5" else 1
             if name == "res5" and self.res5_dilation > 1:
                 stride = 1
+            stage = []
             for b in range(n_blocks):
                 if basic:
-                    x = D2BasicBlock(
+                    stage.append(D2BasicBlock(
                         out_channels=out_ch,
                         stride=stride if b == 0 else 1,
                         dtype=d,
                         name=f"{name}_{b}",
-                    )(x)
+                    ))
                 else:
-                    x = D2Bottleneck(
+                    stage.append(D2Bottleneck(
                         bottleneck_channels=bottleneck_ch,
                         out_channels=out_ch,
                         stride=stride if b == 0 else 1,
@@ -141,12 +136,40 @@ class D2ResNet(nn.Module):
                         dilation=dilation,
                         dtype=d,
                         name=f"{name}_{b}",
-                    )(x)
-            if name in self.out_features:
-                outputs[name] = x
+                    ))
+            stages[name] = stage
             out_ch *= 2
             bottleneck_ch *= 2
+        self._stages = stages
+
+    def _stem(self, x):
+        x = self._stem_conv(x.astype(self.dtype))
+        x = nn.relu(self._stem_bn(x))
+        x = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), constant_values=-jnp.inf)
+        return nn.max_pool(x, (3, 3), strides=(2, 2))
+
+    def __call__(self, x) -> Dict[str, jnp.ndarray]:
+        x = self._stem(x)
+        outputs = {}
+        if "stem" in self.out_features:
+            outputs["stem"] = x
+        # res5 runs only when requested — C4 heads run it on pooled crops
+        # via `res5_forward` (same sharing as the CLIP backbone)
+        last = "res5" if "res5" in self.out_features else "res4"
+        for name in ("res2", "res3", "res4", "res5"):
+            for block in self._stages[name]:
+                x = block(x)
+            if name in self.out_features:
+                outputs[name] = x
+            if name == last:
+                break
         return outputs
+
+    def res5_forward(self, x) -> jnp.ndarray:
+        """Run the res5 stage on pooled region crops (C4 RoI heads)."""
+        for block in self._stages["res5"]:
+            x = block(x)
+        return x
 
     @property
     def out_feature_strides(self):

@@ -18,24 +18,46 @@ def _dtype(cfg):
     return jnp.bfloat16 if cfg.TPU.COMPUTE_DTYPE == "bfloat16" else jnp.float32
 
 
+def D2ResNet_layers(depth: int):
+    from .backbone.resnet import D2_RESNET_SPECS
+
+    return list(D2_RESNET_SPECS[depth])
+
+
 @META_ARCH_REGISTRY.register()
 def build_generalized_rcnn(cfg) -> GeneralizedRCNN:
     depth = cfg.MODEL.RESNETS.DEPTH
-    layers, width = RESNET_SPECS[depth]
+    # reference: BACKBONE.NAME selects the tower (build_resnet_backbone for
+    # the plain Faster R-CNN baseline, build_clip_resnet_backbone otherwise)
+    backbone_type = (
+        "d2_resnet"
+        if "resnet_backbone" in cfg.MODEL.BACKBONE.NAME and "clip" not in cfg.MODEL.BACKBONE.NAME
+        else "clip"
+    )
+    if backbone_type == "d2_resnet":
+        layers, width = D2ResNet_layers(depth), 64
+        embed_dim = cfg.TPU.EMBED_DIM or 2048  # res5 channels, mean-pooled
+        input_resolution = 224
+    else:
+        layers, width = RESNET_SPECS[depth]
+        embed_dim = cfg.TPU.EMBED_DIM or EMBED_DIMS[depth]
+        input_resolution = IMAGE_RESOLUTIONS[depth]
     # compile-light overrides (tests / CPU multichip dryrun)
     if list(cfg.TPU.BACKBONE_LAYERS):
         layers = list(cfg.TPU.BACKBONE_LAYERS)
     if cfg.TPU.BACKBONE_WIDTH:
         width = cfg.TPU.BACKBONE_WIDTH
-    embed_dim = cfg.TPU.EMBED_DIM or EMBED_DIMS[depth]
     focal = cfg.MODEL.CLIP.FOCAL_SCALED_LOSS
     bgw = cfg.MODEL.CLIP.BG_CLS_LOSS_WEIGHT
     return GeneralizedRCNN(
+        backbone_type=backbone_type,
+        backbone_depth=depth,
+        with_offline_backbone=(backbone_type == "clip"),
         backbone_layers=tuple(layers),
         backbone_width=width,
         backbone_out_features=tuple(cfg.MODEL.RESNETS.OUT_FEATURES),
         embed_dim=embed_dim,
-        input_resolution=IMAGE_RESOLUTIONS[depth],
+        input_resolution=input_resolution,
         anchor_sizes=tuple(s for group in cfg.MODEL.ANCHOR_GENERATOR.SIZES for s in (group if isinstance(group, (list, tuple)) else [group])),
         anchor_aspect_ratios=tuple(cfg.MODEL.ANCHOR_GENERATOR.ASPECT_RATIOS[0]),
         rpn_batch_size_per_image=cfg.MODEL.RPN.BATCH_SIZE_PER_IMAGE,

@@ -78,8 +78,10 @@ class GeneralizedRCNN(nn.Module):
     """Fields mirror from_config (reference rcnn.py:101-160)."""
 
     # backbone spec
+    backbone_type: str = "clip"  # 'clip' (ModifiedResNet) or 'd2_resnet'
     backbone_layers: Sequence[int] = (3, 4, 6, 3)
     backbone_width: int = 64
+    backbone_depth: int = 50  # d2_resnet depth (MODEL.RESNETS.DEPTH)
     backbone_out_features: Sequence[str] = ("res4",)
     embed_dim: int = 1024
     input_resolution: int = 224
@@ -132,17 +134,29 @@ class GeneralizedRCNN(nn.Module):
     dtype: Any = jnp.float32
 
     def setup(self):
-        mk_backbone = lambda name: ModifiedResNet(
-            layers=self.backbone_layers,
-            output_dim=self.embed_dim,
-            heads=self.backbone_width * 32 // 64,
-            width=self.backbone_width,
-            out_features=self.backbone_out_features,
-            input_resolution=self.input_resolution,
-            remat=self.backbone_remat,
-            dtype=self.dtype,
-            name=name,
-        )
+        if self.backbone_type == "d2_resnet":
+            # plain Faster R-CNN baseline (reference faster_rcnn_R_50_C4.yaml:
+            # build_resnet_backbone + Res5ROIHeads, mean-pooled linear head)
+            from .backbone.resnet import D2ResNet
+
+            mk_backbone = lambda name: D2ResNet(
+                depth=self.backbone_depth,
+                out_features=tuple(self.backbone_out_features),
+                dtype=self.dtype,
+                name=name,
+            )
+        else:
+            mk_backbone = lambda name: ModifiedResNet(
+                layers=self.backbone_layers,
+                output_dim=self.embed_dim,
+                heads=self.backbone_width * 32 // 64,
+                width=self.backbone_width,
+                out_features=self.backbone_out_features,
+                input_resolution=self.input_resolution,
+                remat=self.backbone_remat,
+                dtype=self.dtype,
+                name=name,
+            )
         self.backbone = mk_backbone("backbone")
         if self.with_offline_backbone:
             # frozen 2nd copy, weights force-loaded from PRE_TRAINED_RCLIP_PATH
@@ -459,7 +473,8 @@ class GeneralizedRCNN(nn.Module):
         """Forward that touches every parameterized path — used only for
         flax init so the full param tree materializes."""
         losses = self.supervised_losses(batch, rng)
-        losses.update(self.caption_consistency(batch, kd_regularization=True))
-        losses.update(self.caption_consistency_region(batch, rng))
-        losses.update({"img_" + k: v for k, v in self.image_consistency(batch).items()})
+        if self.backbone_type == "clip":
+            losses.update(self.caption_consistency(batch, kd_regularization=True))
+            losses.update(self.caption_consistency_region(batch, rng))
+            losses.update({"img_" + k: v for k, v in self.image_consistency(batch).items()})
         return losses

@@ -85,3 +85,14 @@ def test_pseudo_label_threshold(mt):
     assert boxes.shape[1] == trainer.cfg.TPU.MAX_GT_BOXES
     # untrained model rarely crosses 0.5 threshold, but validity must be bool
     assert valid.dtype == bool
+
+
+def test_compute_val_loss(mt):
+    trainer, b = mt
+    losses = trainer.compute_val_loss(b)
+    assert {"loss_cls", "loss_box_reg", "loss_rpn_cls", "loss_rpn_loc"} <= set(losses)
+    assert all(np.isfinite(v) for v in losses.values())
+    # pure monitoring: the student params must be untouched
+    host = jax.device_get(trainer.mt_state.params)
+    again = trainer.compute_val_loss(b)
+    assert losses == again  # deterministic with the fixed default rng

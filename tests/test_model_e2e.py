@@ -162,3 +162,30 @@ def test_inference_shapes_and_postprocess(model_and_params):
             assert (vb[:, 3] <= orig[i, 0] + 1e-3).all()
     s = np.asarray(det.scores)
     assert ((s >= 0) & (s <= 1)).all()
+
+
+def test_plain_d2_resnet_faster_rcnn():
+    """The plain Faster R-CNN baseline (reference faster_rcnn_R_50_C4.yaml:
+    build_resnet_backbone + linear classifier, no CLIP towers)."""
+    from cddmsl_tpu.utils.testing import materialize_params
+
+    cfg = _small_cfg()
+    cfg.MODEL.BACKBONE.NAME = "build_resnet_backbone"
+    cfg.MODEL.CLIP.USE_TEXT_EMB_CLASSIFIER = False
+    cfg.MODEL.RESNETS.DEPTH = 10  # compile-light spec
+    cfg.TPU.BACKBONE_LAYERS = []
+    cfg.TPU.BACKBONE_WIDTH = 0
+    cfg.TPU.EMBED_DIM = 0
+    cfg.TPU.ENABLE_CAPTION_CONSISTENCY = False
+    model = build_model(cfg)
+    assert model.backbone_type == "d2_resnet"
+    assert not model.with_offline_backbone
+    rng = jax.random.PRNGKey(0)
+    params = materialize_params(
+        lambda r, b: model.init({"params": r}, b, r, method=model.init_all), rng, _batch()
+    )
+    losses = model.apply(params, _batch(), rng, method=model.supervised_losses)
+    for k, v in losses.items():
+        assert np.isfinite(float(v)), k
+    det = model.apply(params, _batch(), method=model.inference)
+    assert det.boxes.shape == (2, 100, 4)
