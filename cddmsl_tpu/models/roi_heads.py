@@ -315,6 +315,13 @@ class CLIPStandardROIHeads(nn.Module):
     score_thresh_test: float = 0.05
     nms_thresh_test: float = 0.5
     detections_per_image: int = 100
+    # FPN mask branch (reference StandardROIHeads mask pooler 14^2 from
+    # p2-p5 + MaskRCNNConvUpsampleHead NUM_CONV=4)
+    mask_on: bool = False
+    mask_pooler_resolution: int = 14
+    mask_num_conv: int = 4
+    mask_conv_dim: int = 256
+    mask_canvas_stride: float = 4.0
     dtype: Any = jnp.float32
 
     def setup(self):
@@ -323,6 +330,16 @@ class CLIPStandardROIHeads(nn.Module):
         self.pooler = ROIPooler(
             self.pooler_resolution, self.pooler_scales, sampling_ratio=0, min_level=2
         )
+        if self.mask_on:
+            self.mask_pooler = ROIPooler(
+                self.mask_pooler_resolution, self.pooler_scales, sampling_ratio=0, min_level=2
+            )
+            self.mask_head = MaskRCNNConvUpsampleHead(
+                num_classes=self.num_classes,
+                num_conv=self.mask_num_conv,
+                conv_dim=self.mask_conv_dim,
+                dtype=self.dtype,
+            )
         self.box_head_fc1 = nn.Dense(self.fc_dim, dtype=self.dtype, param_dtype=jnp.float32)
         self.box_head_fc2 = nn.Dense(self.emb_dim, dtype=self.dtype, param_dtype=jnp.float32)
         self.box_predictor = FastRCNNOutputLayers(
@@ -345,10 +362,17 @@ class CLIPStandardROIHeads(nn.Module):
         x = nn.relu(self.box_head_fc1(x.astype(self.dtype)))
         return nn.relu(self.box_head_fc2(x))
 
+    def _mask_pool(self, fpn_feats, boxes):
+        b, s = boxes.shape[:2]
+        pooled = jax.vmap(lambda *per_img: self.mask_pooler(list(per_img[:-1]), per_img[-1]))(
+            *fpn_feats, boxes
+        )
+        return pooled.reshape(b * s, self.mask_pooler_resolution, self.mask_pooler_resolution, -1)
+
     def __call__(self, fpn_feats, proposals: Proposals, image_sizes, training: bool,
-                 gt_boxes=None, gt_classes=None, gt_valid=None, rng=None):
+                 gt_boxes=None, gt_classes=None, gt_valid=None, gt_masks=None, rng=None):
         if training:
-            boxes, classes, matched_gt, valid, _ = CLIPRes5ROIHeads.label_and_sample_proposals(
+            boxes, classes, matched_gt, valid, matched_idx = CLIPRes5ROIHeads.label_and_sample_proposals(
                 self, rng, proposals, gt_boxes, gt_classes, gt_valid
             )
             feats = self._box_features(fpn_feats, boxes)
@@ -359,6 +383,18 @@ class CLIPStandardROIHeads(nn.Module):
                 classes.reshape(b * s), valid.reshape(b * s),
                 self.num_classes, self.box2box,
             )
+            if self.mask_on:
+                assert gt_masks is not None, "MASK_ON training needs gt_masks"
+                mask_logits = self.mask_head(self._mask_pool(fpn_feats, boxes))
+                m = mask_logits.shape[1]
+                targets = jax.vmap(
+                    lambda cv, mi, bx: crop_mask_targets(cv, mi, bx, m, stride=self.mask_canvas_stride)
+                )(gt_masks, matched_idx, boxes)
+                flat_classes = classes.reshape(b * s)
+                fg = valid.reshape(b * s) & (flat_classes >= 0) & (flat_classes < self.num_classes)
+                losses["loss_mask"] = mask_rcnn_loss(
+                    mask_logits, targets.reshape(b * s, m, m), flat_classes, fg
+                )
             return None, losses
         feats = self._box_features(fpn_feats, proposals.boxes)
         b, k = proposals.boxes.shape[:2]
@@ -374,4 +410,11 @@ class CLIPStandardROIHeads(nn.Module):
                 topk_per_image=self.detections_per_image,
             )
 
-        return jax.vmap(per_image)(scores, deltas, proposals.boxes, proposals.valid, image_sizes), {}
+        detections = jax.vmap(per_image)(scores, deltas, proposals.boxes, proposals.valid, image_sizes)
+        if self.mask_on:
+            d = detections.boxes.shape[1]
+            mask_logits = self.mask_head(self._mask_pool(fpn_feats, detections.boxes))
+            m = mask_logits.shape[1]
+            probs = mask_rcnn_inference(mask_logits, detections.classes.reshape(b * d))
+            detections = detections._replace(masks=probs.reshape(b, d, m, m))
+        return detections, {}

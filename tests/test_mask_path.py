@@ -125,3 +125,49 @@ def test_coco_segm_ap_perfect():
     assert res["segm"]["AP50"] > 99.0
     # solid-paste vs polygon-raster differ by boundary pixels only
     assert res["segm"]["AP"] > 60.0
+
+
+def test_fpn_mask_branch():
+    """CLIPStandardROIHeads mask branch (reference StandardROIHeads mask
+    pooler + 4-conv head)."""
+    from cddmsl_tpu.models.roi_heads import CLIPStandardROIHeads
+    from cddmsl_tpu.models.rpn import Proposals
+
+    heads = CLIPStandardROIHeads(
+        num_classes=3, use_text_emb=False, emb_dim=64, fc_dim=32,
+        batch_size_per_image=8, mask_on=True, mask_num_conv=1, mask_conv_dim=8,
+        mask_canvas_stride=4.0, detections_per_image=8,
+    )
+    b = 1
+    r = np.random.RandomState(0)
+    fpn = [jnp.asarray(r.rand(b, 32 // (2 ** i), 48 // (2 ** i), 8).astype(np.float32)) for i in range(4)]
+    k = 6
+    pboxes = np.zeros((b, k, 4), np.float32)
+    pboxes[0, :, 0] = r.rand(k) * 40
+    pboxes[0, :, 1] = r.rand(k) * 30
+    pboxes[0, :, 2] = pboxes[0, :, 0] + 20
+    pboxes[0, :, 3] = pboxes[0, :, 1] + 20
+    proposals = Proposals(jnp.asarray(pboxes), jnp.asarray(r.rand(b, k).astype(np.float32)),
+                          jnp.ones((b, k), bool))
+    gt_boxes = jnp.asarray([[[8, 8, 40, 40.0], [60, 40, 100, 90]]])
+    gt_classes = jnp.asarray([[0, 2]])
+    gt_valid = jnp.asarray([[True, True]])
+    gt_masks = jnp.ones((b, 2, 32, 48))
+    sizes = jnp.asarray([[128, 192]], jnp.int32)
+    rng = jax.random.PRNGKey(0)
+    params = materialize_params(
+        lambda r_: heads.init(
+            {"params": r_}, fpn, proposals, sizes, True,
+            gt_boxes=gt_boxes, gt_classes=gt_classes, gt_valid=gt_valid,
+            gt_masks=gt_masks, rng=r_,
+        ),
+        rng,
+    )
+    _, losses = heads.apply(
+        params, fpn, proposals, sizes, True,
+        gt_boxes=gt_boxes, gt_classes=gt_classes, gt_valid=gt_valid,
+        gt_masks=gt_masks, rng=rng,
+    )
+    assert "loss_mask" in losses and np.isfinite(float(losses["loss_mask"]))
+    det, _ = heads.apply(params, fpn, proposals, sizes, False)
+    assert det.masks is not None and det.masks.shape[:2] == (b, 8)
