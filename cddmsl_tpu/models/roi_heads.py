@@ -154,9 +154,11 @@ class CLIPRes5ROIHeads(nn.Module):
     def pool(self, features: jnp.ndarray, boxes: jnp.ndarray) -> jnp.ndarray:
         """features (B,H,W,C), boxes (B,S,4) -> (B*S, P, P, C).
 
-        Rematerialized: the (R, PH, W, C) separable-interpolation intermediate
-        would otherwise be saved for backward (~GBs at 512 ROIs/img);
-        recomputing the pooling is far cheaper than holding it."""
+        NOT rematerialized (round-2 change): boxes arrive stop-gradient'd, so
+        the backward of the separable matmuls needs only the tiny per-ROI
+        interpolation matrices — the (R, P, W, C)-sized intermediate is never
+        a residual, and the round-1 jax.checkpoint only bought a full forward
+        recompute (~45 ms/step) for nothing."""
 
         if self.use_pallas_roi_align:
             from ..ops.pallas.roi_align_pallas import roi_align_pallas
@@ -171,7 +173,6 @@ class CLIPRes5ROIHeads(nn.Module):
                 self.pooler_scale, self.pooler_sampling_ratio, True,
             )
 
-        @jax.checkpoint
         def _pool(f, bx):
             return jax.vmap(align)(f, bx)
 

@@ -142,3 +142,191 @@ def _bwd_rule(output_size, spatial_scale, sampling_ratio, interpret, res, g):
 
 
 roi_align_pallas.defvjp(_fwd_rule, _bwd_rule)
+
+
+# ---------------------------------------------------------------------------
+# v2: ROI-blocked kernel (round 2). The round-1 kernel above issues one
+# 14-row MXU matmul per ROI (~11% row occupancy) and loses to the XLA
+# separable-matmul form. This version processes RB ROIs per grid step:
+#   * the shared-feature contraction is ONE (RB*PW, W) @ (W, H*C) GEMM
+#     against a VMEM-resident transposed feature map (x-first: H*PW < PH*W
+#     keeps the per-step intermediate small)
+#   * the per-ROI second contraction is a 3D dot_general
+#     (PH, H) x (PW, H, C) -> (PH, PW, C) — which Mosaic lowers natively —
+#     so nothing is ever materialized in HBM between the two contractions.
+# Backward accumulates dF in a VMEM fp32 scratch per C-tile (grid ordered
+# C-outer / ROI-inner, output written once per C-tile).
+#
+# Measured on v5e (batch 8 x 512 ROIs, 50x84x1024 bf16, fwd+bwd): this
+# kernel 234 ms vs the XLA separable-matmul path 118 ms — the XLA pipeline's
+# software-pipelined GEMMs beat the kernel's per-step overhead (1024 grid
+# steps x 4+1 dots each) despite its HBM intermediate. Larger ROI blocks
+# (rb=16) crash the Mosaic compile helper on this toolchain. The XLA path
+# stays the default; this kernel remains the zero-HBM-intermediate
+# formulation (and the Pallas reference) — exact vs the oracle in interpret
+# mode, ~1e-3 relative on TPU (MXU default precision).
+# ---------------------------------------------------------------------------
+
+
+def _weights_t(start, size, pooled: int, sampling: int, dim: int):
+    """Transposed interpolation matrix (dim, pooled) built directly on the
+    VPU (same math as _weights with the iota roles swapped)."""
+    bin_size = size / pooled
+    shape = (dim, sampling, pooled)
+    grid = jax.lax.broadcasted_iota(jnp.int32, shape, 0).astype(jnp.float32)
+    s = jax.lax.broadcasted_iota(jnp.int32, shape, 1).astype(jnp.float32)
+    p = jax.lax.broadcasted_iota(jnp.int32, shape, 2).astype(jnp.float32)
+    coords = start + (p + (s + 0.5) / sampling) * bin_size
+    in_range = (coords > -1.0) & (coords < dim)
+    cc = jnp.clip(coords, 0.0, dim - 1.0)
+    w = jnp.maximum(0.0, 1.0 - jnp.abs(cc - grid)) * in_range.astype(jnp.float32)
+    return jnp.mean(w, axis=1)  # (dim, pooled)
+
+
+def _fwd_kernel_v2(rois_ref, ft_ref, out_ref, *, rb, ph, pw, sampling, scale, H, W, C_T):
+    """ft block (W, H, C_T) of the transposed feature map; out block
+    (RB, PH, PW, C_T). Grid (n_c, n_rb), C outer — Pallas re-fetches the ft
+    block only when the C index changes."""
+    rb_step = pl.program_id(1)
+
+    # stacked x-interp rows for the whole block: (RB*PW, W)
+    wx_rows = []
+    wys = []
+    for i in range(rb):
+        r = rb_step * rb + i
+        x1, y1, x2, y2 = _roi_coords(rois_ref, r, scale)
+        wx_rows.append(_weights(x1, x2 - x1, pw, sampling, W))  # (PW, W)
+        wys.append(_weights(y1, y2 - y1, ph, sampling, H))  # (PH, H)
+    wx_blk = jnp.concatenate(wx_rows, axis=0)  # (RB*PW, W)
+
+    ft = ft_ref[:].reshape(W, H * C_T)
+    mid = jnp.dot(wx_blk.astype(ft.dtype), ft, preferred_element_type=jnp.float32)
+    mid = mid.astype(ft.dtype)  # (RB*PW, H*C_T); MXU already accumulated fp32
+    for i in range(rb):
+        mid_i = mid[i * pw : (i + 1) * pw].reshape(pw, H, C_T)
+        out_i = jax.lax.dot_general(
+            wys[i].astype(ft.dtype), mid_i,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (PH, PW, C_T)
+        out_ref[i] = out_i.astype(out_ref.dtype)
+
+
+def _bwd_kernel_v2(rois_ref, g_ref, df_ref, acc, *, rb, n_rb, ph, pw, sampling, scale, H, W, C_T):
+    """grid (n_c, n_rb) — C outer, ROI inner. g block (RB, PH, PW, C_T);
+    df block (H, W, C_T) written at the last ROI step from the fp32 scratch."""
+    rb_step = pl.program_id(1)
+
+    @pl.when(rb_step == 0)
+    def _zero():
+        acc[:] = jnp.zeros_like(acc)
+
+    def body(i, _):
+        # sequential per-ROI accumulation: a fori_loop (vs an unrolled python
+        # loop) lets Mosaic reuse one stack buffer for the per-ROI temps
+        r = rb_step * rb + i
+        x1 = rois_ref[r, 0] * scale - 0.5
+        y1 = rois_ref[r, 1] * scale - 0.5
+        x2 = rois_ref[r, 2] * scale - 0.5
+        y2 = rois_ref[r, 3] * scale - 0.5
+        wx = _weights(x1, x2 - x1, pw, sampling, W)  # (PW, W)
+        wy_t = _weights_t(y1, y2 - y1, ph, sampling, H)  # (H, PH)
+        g_i = g_ref[i]  # (PH, PW, C_T)
+        # t[w, p, c] = sum_q wx[q, w] g[p, q, c]
+        t_i = jax.lax.dot_general(
+            wx.astype(g_i.dtype), g_i,
+            dimension_numbers=(((0,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (W, PH, C_T)
+        # contrib[h, w, c] = sum_p wy_t[h, p] t[w, p, c]
+        contrib = jax.lax.dot_general(
+            wy_t.astype(jnp.float32), t_i,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (H, W, C_T)
+        acc[:] += contrib
+        return 0
+
+    jax.lax.fori_loop(0, rb, body, 0)
+
+    @pl.when(rb_step == n_rb - 1)
+    def _flush():
+        df_ref[:] = acc[:].astype(df_ref.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
+def roi_align_pallas_v2(
+    features, rois, output_size=(14, 14), spatial_scale=1.0 / 16,
+    sampling_ratio=2, roi_block=4, interpret=False,
+):
+    """Blocked Pallas RoIAlign: features (H, W, C), rois (R, 4) ->
+    (R, PH, PW, C). R must be a multiple of roi_block (pad with zero boxes).
+    aligned=True semantics identical to ops/roi_align.roi_align."""
+    return _fwd_v2(features, rois, output_size, spatial_scale, sampling_ratio, roi_block, interpret)
+
+
+def _fwd_v2(features, rois, output_size, spatial_scale, sampling_ratio, roi_block, interpret):
+    H, W, C = features.shape
+    R = rois.shape[0]
+    ph, pw = output_size
+    s = max(sampling_ratio, 1) if sampling_ratio else 2
+    rb = roi_block
+    assert R % rb == 0, (R, rb)
+    c_t = min(C, 256)
+    assert C % c_t == 0
+    ft = jnp.transpose(features, (1, 0, 2))  # (W, H, C), tiny one-time copy
+    kernel = functools.partial(
+        _fwd_kernel_v2, rb=rb, ph=ph, pw=pw, sampling=s, scale=spatial_scale, H=H, W=W, C_T=c_t
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(C // c_t, R // rb),  # C outer: ft block reused across ROI steps
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((W, H, c_t), lambda c, i: (0, 0, c), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (rb, ph, pw, c_t), lambda c, i: (i, 0, 0, c), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((R, ph, pw, C), features.dtype),
+        interpret=interpret,
+    )(rois.astype(jnp.float32), ft)
+
+
+def _fwd_rule_v2(features, rois, output_size, spatial_scale, sampling_ratio, roi_block, interpret):
+    out = _fwd_v2(features, rois, output_size, spatial_scale, sampling_ratio, roi_block, interpret)
+    # shape/dtype carrier (residuals must be JAX types): (H, W, 1) of f dtype
+    return out, (jnp.zeros(features.shape[:2] + (1,), features.dtype), rois)
+
+
+def _bwd_rule_v2(output_size, spatial_scale, sampling_ratio, roi_block, interpret, res, g):
+    shape_carrier, rois = res
+    H, W = shape_carrier.shape[:2]
+    f_dtype = shape_carrier.dtype
+    C = g.shape[-1]
+    R = rois.shape[0]
+    ph, pw = output_size
+    s = max(sampling_ratio, 1) if sampling_ratio else 2
+    rb = roi_block
+    c_t = min(C, 128)
+    assert C % c_t == 0
+    kernel = functools.partial(
+        _bwd_kernel_v2, rb=rb, n_rb=R // rb, ph=ph, pw=pw, sampling=s,
+        scale=spatial_scale, H=H, W=W, C_T=c_t,
+    )
+    df = pl.pallas_call(
+        kernel,
+        grid=(C // c_t, R // rb),  # C outer so the df block is revisited
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((rb, ph, pw, c_t), lambda c, i: (i, 0, 0, c), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((H, W, c_t), lambda c, i: (0, 0, c), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((H, W, C), f_dtype),
+        scratch_shapes=[pltpu.VMEM((H, W, c_t), jnp.float32)],
+        interpret=interpret,
+    )(rois.astype(jnp.float32), g)
+    return df, None
+
+
+roi_align_pallas_v2.defvjp(_fwd_rule_v2, _bwd_rule_v2)

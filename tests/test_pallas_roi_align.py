@@ -45,3 +45,31 @@ def test_pooled_shape_14(data):
     feat, rois = data
     out = roi_align_pallas(feat, rois, (14, 14), 1 / 16, 2, True)
     assert out.shape == (4, 14, 14, 8)
+
+
+def test_pallas_v2_oracle_interpret():
+    """Blocked v2 kernel: fwd+bwd exact vs the XLA path in interpret mode."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from cddmsl_tpu.ops.pallas.roi_align_pallas import roi_align_pallas_v2
+    from cddmsl_tpu.ops.roi_align import roi_align
+
+    r = np.random.RandomState(0)
+    H, W, C, R = 20, 28, 8, 8
+    f = jnp.asarray(r.rand(H, W, C).astype(np.float32))
+    boxes = np.zeros((R, 4), np.float32)
+    boxes[:, 0] = r.rand(R) * 200
+    boxes[:, 1] = r.rand(R) * 150
+    boxes[:, 2] = boxes[:, 0] + 30 + r.rand(R) * 150
+    boxes[:, 3] = boxes[:, 1] + 30 + r.rand(R) * 100
+    boxes = jnp.asarray(boxes)
+
+    got = roi_align_pallas_v2(f, boxes, (7, 7), 1 / 16.0, 2, 4, True)
+    want = roi_align(f, boxes, (7, 7), 1 / 16.0, 2, True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+    gp = jax.grad(lambda x: jnp.sum(roi_align_pallas_v2(x, boxes, (7, 7), 1 / 16.0, 2, 4, True) ** 2))(f)
+    gx = jax.grad(lambda x: jnp.sum(roi_align(x, boxes, (7, 7), 1 / 16.0, 2, True) ** 2))(f)
+    np.testing.assert_allclose(np.asarray(gp), np.asarray(gx), atol=1e-4)
