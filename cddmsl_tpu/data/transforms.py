@@ -316,3 +316,175 @@ def linear_rampup(current: float, rampup_length: float) -> float:
 
 def cosine_rampdown(current: float, rampdown_length: float) -> float:
     return float(0.5 * (np.cos(np.pi * current / rampdown_length) + 1))
+
+
+# ---------------- extended transform family (reference transform.py:351 ----
+# RotationTransform / ExtentTransform / BlendTransform and the color
+# augmentations of augmentation_impl.py: RandomBrightness / RandomContrast /
+# RandomSaturation / RandomLighting) ----------------
+
+
+class RotationTransform(Transform):
+    """Rotate by `angle` degrees around the image center, optionally
+    expanding the canvas to fit (reference transforms/transform.py
+    RotationTransform). Coordinates rotate exactly; boxes become the
+    axis-aligned hull of their rotated corners (reference apply_box via
+    apply_coords on the 4 corners)."""
+
+    def __init__(self, h: int, w: int, angle: float, expand: bool = True, interp=Image.BILINEAR):
+        self.h, self.w, self.angle, self.expand, self.interp = h, w, angle, expand, interp
+        rad = np.deg2rad(angle)
+        self.cos, self.sin = np.cos(rad), np.sin(rad)
+        if expand:
+            # epsilon guards float fuzz (cos(90deg) ~ 6e-17 would ceil +1)
+            self.new_w = int(np.ceil(abs(self.cos) * w + abs(self.sin) * h - 1e-6))
+            self.new_h = int(np.ceil(abs(self.sin) * w + abs(self.cos) * h - 1e-6))
+        else:
+            self.new_w, self.new_h = w, h
+
+    def apply_image(self, img: np.ndarray) -> np.ndarray:
+        pil = Image.fromarray(img.astype(np.uint8))
+        out = pil.rotate(self.angle, resample=self.interp, expand=self.expand)
+        return np.asarray(out)
+
+    def apply_coords(self, coords: np.ndarray) -> np.ndarray:
+        coords = coords.astype(np.float32).copy()
+        cx, cy = self.w / 2, self.h / 2
+        ncx, ncy = self.new_w / 2, self.new_h / 2
+        x = coords[:, 0] - cx
+        y = coords[:, 1] - cy
+        # PIL rotates counter-clockwise for positive angles; image y is down
+        xr = x * self.cos + y * self.sin
+        yr = -x * self.sin + y * self.cos
+        return np.stack([xr + ncx, yr + ncy], axis=1)
+
+    def apply_box(self, boxes: np.ndarray) -> np.ndarray:
+        boxes = boxes.astype(np.float32)
+        if len(boxes) == 0:
+            return boxes
+        corners = np.stack(
+            [boxes[:, [0, 1]], boxes[:, [2, 1]], boxes[:, [0, 3]], boxes[:, [2, 3]]], axis=1
+        ).reshape(-1, 2)
+        rc = self.apply_coords(corners).reshape(-1, 4, 2)
+        out = np.concatenate([rc.min(axis=1), rc.max(axis=1)], axis=1)
+        return out
+
+
+class ExtentTransform(Transform):
+    """Resample a sub-rectangle (src_rect, may exceed the image) to a fixed
+    output size (reference ExtentTransform via PIL Image.EXTENT)."""
+
+    def __init__(self, src_rect, output_size, interp=Image.BILINEAR):
+        self.src_rect = tuple(float(v) for v in src_rect)  # x0, y0, x1, y1
+        self.output_size = tuple(int(v) for v in output_size)  # (h, w)
+        self.interp = interp
+
+    def apply_image(self, img: np.ndarray) -> np.ndarray:
+        h, w = self.output_size
+        pil = Image.fromarray(img.astype(np.uint8))
+        out = pil.transform((w, h), Image.EXTENT, self.src_rect, self.interp)
+        return np.asarray(out)
+
+    def apply_coords(self, coords: np.ndarray) -> np.ndarray:
+        x0, y0, x1, y1 = self.src_rect
+        h, w = self.output_size
+        coords = coords.astype(np.float32).copy()
+        coords[:, 0] = (coords[:, 0] - x0) / (x1 - x0) * w
+        coords[:, 1] = (coords[:, 1] - y0) / (y1 - y0) * h
+        return coords
+
+    def apply_box(self, boxes: np.ndarray) -> np.ndarray:
+        boxes = boxes.astype(np.float32).copy()
+        pts = self.apply_coords(boxes.reshape(-1, 2).copy())
+        return pts.reshape(-1, 4)
+
+
+class BlendTransform(Transform):
+    """out = src_weight * src_image + dst_weight * img (reference
+    BlendTransform — the base of the color augmentations). Geometry is
+    untouched."""
+
+    def __init__(self, src_image, src_weight: float, dst_weight: float):
+        self.src_image = src_image
+        self.src_weight = src_weight
+        self.dst_weight = dst_weight
+
+    def apply_image(self, img: np.ndarray) -> np.ndarray:
+        out = self.src_weight * np.asarray(self.src_image, np.float32) + self.dst_weight * img.astype(np.float32)
+        return np.clip(out, 0, 255).astype(img.dtype)
+
+    def apply_box(self, boxes):
+        return boxes
+
+    def apply_coords(self, coords):
+        return coords
+
+
+class RandomBrightness(Augmentation):
+    """w ~ U[intensity_min, intensity_max]; out = w * img (reference
+    augmentation_impl.py RandomBrightness)."""
+
+    def __init__(self, intensity_min: float, intensity_max: float):
+        self.lo, self.hi = intensity_min, intensity_max
+
+    def get_transform(self, img, rng) -> Transform:
+        w = rng.uniform(self.lo, self.hi)
+        return BlendTransform(0.0, src_weight=1 - w, dst_weight=w)
+
+
+class RandomContrast(Augmentation):
+    def __init__(self, intensity_min: float, intensity_max: float):
+        self.lo, self.hi = intensity_min, intensity_max
+
+    def get_transform(self, img, rng) -> Transform:
+        w = rng.uniform(self.lo, self.hi)
+        return BlendTransform(img.mean(), src_weight=1 - w, dst_weight=w)
+
+
+class RandomSaturation(Augmentation):
+    def __init__(self, intensity_min: float, intensity_max: float):
+        self.lo, self.hi = intensity_min, intensity_max
+
+    def get_transform(self, img, rng) -> Transform:
+        assert img.shape[-1] == 3, "RandomSaturation expects RGB"
+        w = rng.uniform(self.lo, self.hi)
+        grayscale = img.astype(np.float32) @ np.array([0.299, 0.587, 0.114], np.float32)
+        return BlendTransform(grayscale[:, :, None], src_weight=1 - w, dst_weight=w)
+
+
+class RandomLighting(Augmentation):
+    """AlexNet-style PCA lighting jitter (reference RandomLighting)."""
+
+    _EIGEN_VECS = np.array(
+        [[-0.5675, 0.7192, 0.4009], [-0.5808, -0.0045, -0.8140], [-0.5836, -0.6948, 0.4203]],
+        np.float32,
+    )
+    _EIGEN_VALS = np.array([0.2175, 0.0188, 0.0045], np.float32)
+
+    def __init__(self, scale: float):
+        self.scale = scale
+
+    def get_transform(self, img, rng) -> Transform:
+        assert img.shape[-1] == 3, "RandomLighting expects RGB"
+        weights = rng.normal(scale=self.scale, size=3).astype(np.float32)
+        shift = self._EIGEN_VECS @ (weights * self._EIGEN_VALS)
+        return BlendTransform(shift[None, None, :] * 255.0, src_weight=1.0, dst_weight=1.0)
+
+
+class RandomRotation(Augmentation):
+    """Sample an angle (choice or range) (reference RandomRotation)."""
+
+    def __init__(self, angle, expand: bool = True, sample_style: str = "range"):
+        self.angle = angle if isinstance(angle, (list, tuple)) else (angle, angle)
+        self.expand = expand
+        self.sample_style = sample_style
+
+    def get_transform(self, img, rng) -> Transform:
+        if self.sample_style == "range":
+            a = rng.uniform(min(self.angle), max(self.angle))
+        else:
+            a = self.angle[rng.randint(len(self.angle))]
+        if abs(a) < 1e-6:
+            return NoOpTransform()
+        h, w = img.shape[:2]
+        return RotationTransform(h, w, a, expand=self.expand)
