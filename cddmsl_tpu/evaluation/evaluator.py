@@ -60,6 +60,11 @@ def inference_on_dataset(
                         "segmentations": [a.get("segmentation") for a in meta["annotations"]],
                         "image_hw": hw,
                     }
+                if "neg_category_ids" in meta:  # LVIS per-image exhaustiveness
+                    gt_kwargs["neg_category_ids"] = meta["neg_category_ids"]
+                    gt_kwargs["not_exhaustive_category_ids"] = meta.get(
+                        "not_exhaustive_category_ids", ()
+                    )
                 evaluator.process_gt(meta["image_id"], gb, gc, gd, **gt_kwargs)
         seen += len(metas)
         total_eval += time.time() - t1

@@ -50,7 +50,11 @@ class LVISEvaluator:
         for b, s, c in zip(boxes, scores, classes):
             self._dets[int(c)][image_id].append((float(s), np.asarray(b, np.float64)))
 
-    def process_gt(self, image_id, boxes, classes, neg_category_ids=(), not_exhaustive_category_ids=()):
+    def process_gt(self, image_id, boxes, classes, iscrowd=None,
+                   neg_category_ids=(), not_exhaustive_category_ids=()):
+        """`iscrowd` accepted for COCO-loop call compatibility and ignored —
+        LVIS has no crowd annotations."""
+        del iscrowd
         self._images.add(image_id)
         self._neg[image_id] = set(int(c) for c in neg_category_ids)
         self._not_exhaustive[image_id] = set(int(c) for c in not_exhaustive_category_ids)
