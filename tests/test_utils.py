@@ -134,3 +134,22 @@ def test_clip_img_txt_tsv_dataset(tmp_path):
     batch_imgs, caps = next(ds.batches(2, image_size=16))
     assert batch_imgs.shape == (2, 16, 16, 3)
     assert len(caps) == 2
+
+
+def test_stablehlo_export_roundtrip_tiny_model(tmp_path):
+    """export/api.py: serialize a tiny jitted inference, reload, run
+    (the deploy CLI's round-trip in miniature)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from cddmsl_tpu.export import export_inference, load_exported
+
+    def fn(w, x):
+        return jnp.tanh(x @ w)
+
+    w = jnp.asarray(np.random.RandomState(0).randn(4, 3).astype(np.float32))
+    x = jnp.ones((2, 4), jnp.float32)
+    out_dir = export_inference(fn, (w, x), str(tmp_path / "export"))
+    call = load_exported(out_dir)
+    np.testing.assert_allclose(np.asarray(call(w, x)), np.asarray(fn(w, x)), rtol=1e-6)
