@@ -123,3 +123,53 @@ class DatasetMapperTwoCropSeparate:
         if "image_trgt" in weak:
             strong["image_trgt"] = self.strong_aug(weak["image_trgt"], rng)
         return strong, weak
+
+
+class PanopticDatasetMapper:
+    """Panoptic training mapper (reference dataset_mapper.py panoptic path):
+    reads the image + panoptic PNG, applies the shared geometric transforms,
+    and emits the detection sample (thing boxes from segments_info) plus a
+    `sem_seg` stuff-class target derived from the PNG."""
+
+    def __init__(self, cfg, is_train: bool = True):
+        self.is_train = is_train
+        self.augmentations = build_augmentation(cfg, is_train)
+        self.image_format = cfg.INPUT.FORMAT
+        self.ignore_label = cfg.MODEL.SEM_SEG_HEAD.IGNORE_VALUE
+
+    def __call__(self, dataset_dict: dict, rng: np.random.RandomState) -> dict:
+        from .datasets.coco_panoptic import panoptic_png_to_sem_seg
+
+        d = dict(dataset_dict)
+        image = read_image(d["file_name"], self.image_format)
+        orig_hw = image.shape[:2]
+        image, tfms = apply_augmentations(self.augmentations, image, rng)
+        hw = image.shape[:2]
+
+        pan = np.asarray(Image.open(d["pan_seg_file_name"]).convert("RGB"))
+        sem = panoptic_png_to_sem_seg(pan, d["segments_info"], self.ignore_label)
+        sem_t = tfms.apply_segmentation(sem)  # NEAREST resampling
+
+        boxes, classes = [], []
+        for seg in d["segments_info"]:
+            if seg["isthing"] and seg.get("bbox") is not None:
+                x, y, w, h = seg["bbox"]
+                boxes.append([x, y, x + w, y + h])
+                classes.append(seg["category_id"])
+        boxes = np.asarray(boxes, np.float32).reshape(-1, 4)
+        classes = np.asarray(classes, np.int32).reshape(-1)
+        if len(boxes):
+            boxes = tfms.apply_box(boxes)
+            boxes[:, 0::2] = boxes[:, 0::2].clip(0, hw[1])
+            boxes[:, 1::2] = boxes[:, 1::2].clip(0, hw[0])
+            keep = (boxes[:, 2] > boxes[:, 0]) & (boxes[:, 3] > boxes[:, 1])
+            boxes, classes = boxes[keep], classes[keep]
+        return {
+            "image": image,
+            "hw": np.asarray(hw, np.int32),
+            "orig_hw": np.asarray(orig_hw, np.int32),
+            "image_id": d.get("image_id"),
+            "boxes": boxes,
+            "classes": classes,
+            "sem_seg": sem_t.astype(np.int32),
+        }

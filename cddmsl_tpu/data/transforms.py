@@ -26,10 +26,18 @@ class Transform:
         """coords: (N, 2) float (x, y) points (for polygons/keypoints)."""
         raise NotImplementedError
 
+    def apply_segmentation(self, seg: np.ndarray) -> np.ndarray:
+        """(H, W) integer label map; geometric transforms resample NEAREST
+        (reference transform.py apply_segmentation)."""
+        return self.apply_image(seg)
+
 
 class NoOpTransform(Transform):
     def apply_image(self, img):
         return img
+
+    def apply_segmentation(self, seg):
+        return seg
 
     def apply_box(self, boxes):
         return boxes
@@ -59,6 +67,10 @@ class ResizeTransform(Transform):
         coords[:, 0] *= self.new_w / self.w
         coords[:, 1] *= self.new_h / self.h
         return coords
+
+    def apply_segmentation(self, seg: np.ndarray) -> np.ndarray:
+        pil = Image.fromarray(seg.astype(np.int32), mode="I")
+        return np.asarray(pil.resize((self.new_w, self.new_h), Image.NEAREST))
 
 
 class HFlipTransform(Transform):
@@ -104,6 +116,11 @@ class CropTransform(Transform):
 class TransformList(Transform):
     def __init__(self, tfms: Sequence[Transform]):
         self.transforms = list(tfms)
+
+    def apply_segmentation(self, seg):
+        for t in self.transforms:
+            seg = t.apply_segmentation(seg)
+        return seg
 
     def apply_image(self, img):
         for t in self.transforms:
@@ -347,6 +364,10 @@ class RotationTransform(Transform):
         out = pil.rotate(self.angle, resample=self.interp, expand=self.expand)
         return np.asarray(out)
 
+    def apply_segmentation(self, seg: np.ndarray) -> np.ndarray:
+        pil = Image.fromarray(seg.astype(np.int32), mode="I")
+        return np.asarray(pil.rotate(self.angle, resample=Image.NEAREST, expand=self.expand))
+
     def apply_coords(self, coords: np.ndarray) -> np.ndarray:
         coords = coords.astype(np.float32).copy()
         cx, cy = self.w / 2, self.h / 2
@@ -385,6 +406,11 @@ class ExtentTransform(Transform):
         out = pil.transform((w, h), Image.EXTENT, self.src_rect, self.interp)
         return np.asarray(out)
 
+    def apply_segmentation(self, seg: np.ndarray) -> np.ndarray:
+        h, w = self.output_size
+        pil = Image.fromarray(seg.astype(np.int32), mode="I")
+        return np.asarray(pil.transform((w, h), Image.EXTENT, self.src_rect, Image.NEAREST))
+
     def apply_coords(self, coords: np.ndarray) -> np.ndarray:
         x0, y0, x1, y1 = self.src_rect
         h, w = self.output_size
@@ -412,6 +438,9 @@ class BlendTransform(Transform):
     def apply_image(self, img: np.ndarray) -> np.ndarray:
         out = self.src_weight * np.asarray(self.src_image, np.float32) + self.dst_weight * img.astype(np.float32)
         return np.clip(out, 0, 255).astype(img.dtype)
+
+    def apply_segmentation(self, seg):
+        return seg  # photometric only
 
     def apply_box(self, boxes):
         return boxes

@@ -93,3 +93,44 @@ def test_panoptic_loader_and_sem_seg(tmp_path):
         assert (sem[5:] == 1).all()
     finally:
         DatasetCatalog.remove(name)
+
+
+def test_panoptic_mapper(tmp_path):
+    import json
+
+    from PIL import Image
+
+    from cddmsl_tpu.config import get_cfg
+    from cddmsl_tpu.data.dataset_mapper import PanopticDatasetMapper
+
+    png = np.zeros((40, 60, 3), np.uint8)
+    png[:20] = [5, 0, 0]
+    png[20:] = [44, 1, 0]
+    Image.fromarray(png).save(tmp_path / "im.png")
+    Image.fromarray((np.random.RandomState(0).rand(40, 60, 3) * 255).astype(np.uint8)).save(
+        tmp_path / "im.jpg"
+    )
+    d = {
+        "file_name": str(tmp_path / "im.jpg"),
+        "pan_seg_file_name": str(tmp_path / "im.png"),
+        "image_id": 1,
+        "height": 40,
+        "width": 60,
+        "segments_info": [
+            {"id": 5, "category_id": 0, "isthing": True, "iscrowd": 0,
+             "bbox": [5, 2, 30, 15], "area": 450},
+            {"id": 300, "category_id": 1, "isthing": False, "iscrowd": 0,
+             "bbox": None, "area": 1200},
+        ],
+    }
+    cfg = get_cfg()
+    cfg.INPUT.MIN_SIZE_TRAIN = (80,)
+    cfg.INPUT.MAX_SIZE_TRAIN = 160
+    mapper = PanopticDatasetMapper(cfg, is_train=True)
+    s = mapper(d, np.random.RandomState(0))
+    assert s["sem_seg"].shape == s["image"].shape[:2]
+    # nearest resampling preserves the label set exactly
+    assert set(np.unique(s["sem_seg"])) <= {0, 1}
+    assert len(s["boxes"]) == 1  # only the thing segment carries a box
+    scale = s["image"].shape[0] / 40
+    np.testing.assert_allclose(s["boxes"][0], np.asarray([5, 2, 35, 17]) * scale, rtol=1e-5)
