@@ -113,7 +113,13 @@ def build_evaluator(cfg, dataset_name: str):
         from ..evaluation.coco_eval import COCOEvaluator
 
         tasks = ("bbox", "segm") if cfg.MODEL.MASK_ON else ("bbox",)
-        return COCOEvaluator(dataset_name, tasks=tasks)
+        # prediction dump (reference: OUTPUT_DIR/inference/coco_instances_results.json)
+        out_json = (
+            os.path.join(cfg.OUTPUT_DIR, "inference", f"coco_instances_results_{dataset_name}.json")
+            if cfg.OUTPUT_DIR
+            else None
+        )
+        return COCOEvaluator(dataset_name, tasks=tasks, output_json=out_json)
     if ev_type == "lvis":
         from ..evaluation.lvis_eval import LVISEvaluator
 

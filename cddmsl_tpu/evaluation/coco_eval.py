@@ -121,12 +121,14 @@ class COCOEvaluator:
     under keys 'bbox' (and 'segm' when tasks include it — reference
     coco_evaluation.py:_tasks_from_predictions / MASK_ON)."""
 
-    def __init__(self, dataset_name: str, tasks: Sequence[str] = ("bbox",)):
+    def __init__(self, dataset_name: str, tasks: Sequence[str] = ("bbox",),
+                 output_json: Optional[str] = None):
         meta = MetadataCatalog.get(dataset_name)
         classes = meta.get("thing_classes")
         self.num_classes = len(classes) if classes else 80
         self.class_names = classes
         self.tasks = tuple(tasks)
+        self.output_json = output_json
         self.reset()
 
     def reset(self):
@@ -172,7 +174,34 @@ class COCOEvaluator:
         out = {}
         for task in self.tasks:
             out[task] = self._evaluate_task(task)
+        if self.output_json:
+            self.dump_predictions(self.output_json)
         return out
+
+    def dump_predictions(self, path: str) -> None:
+        """Write the accumulated detections in the standard COCO results
+        schema (reference COCOEvaluator's coco_instances_results.json) —
+        consumable by tools/visualize_json_results.py."""
+        import json
+        import os
+
+        records = []
+        for c, per_img in self._dets.items():
+            for img, dets in per_img.items():
+                for score, box, rle in dets:
+                    x1, y1, x2, y2 = [float(v) for v in box]
+                    rec = {
+                        "image_id": img,
+                        "category_id": int(c),
+                        "bbox": [x1, y1, x2 - x1, y2 - y1],
+                        "score": float(score),
+                    }
+                    if rle is not None:
+                        rec["segmentation"] = rle
+                    records.append(rec)
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        with open(path, "w") as f:
+            json.dump(records, f)
 
     def _evaluate_task(self, task: str) -> Dict[str, float]:
         ap_per_class = {area: [] for area in AREA_RANGES}

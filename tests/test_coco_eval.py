@@ -100,3 +100,23 @@ def test_native_matches_numpy_fallback(rng):
         ref = ce._eval_image(dets, scores, gts, gt_ignore, iscrowd, th)
     for a, b in zip(native, ref):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_prediction_dump(tmp_path):
+    import json
+
+    from cddmsl_tpu.data.catalog import MetadataCatalog
+    from cddmsl_tpu.evaluation.coco_eval import COCOEvaluator
+
+    name = "_dump_fixture"
+    if MetadataCatalog.get(name).get("thing_classes") is None:
+        MetadataCatalog.get(name).set(thing_classes=["a"], evaluator_type="coco")
+    out = str(tmp_path / "preds.json")
+    ev = COCOEvaluator(name, output_json=out)
+    b = np.asarray([[10, 10, 50, 40.0]])
+    ev.process_gt("img7", b, [0])
+    ev.process("img7", b, [0.9], [0])
+    ev.evaluate()
+    recs = json.load(open(out))
+    assert recs == [{"image_id": "img7", "category_id": 0,
+                     "bbox": [10.0, 10.0, 40.0, 30.0], "score": 0.9}]
