@@ -112,20 +112,16 @@ def rasterize_polygons(
     polygons: List[List[np.ndarray]], hw: Tuple[int, int], stride: int
 ) -> np.ndarray:
     """Per-instance polygon rings (image coords) -> (N, H/stride, W/stride)
-    {0,1} bitmasks (PolygonMasks rasterization; reference structures/masks.py
-    polygons_to_bitmask — here PIL instead of pycocotools)."""
-    from PIL import Image, ImageDraw
+    {0,1} bitmasks. Delegates the fill to evaluation/masks.py
+    polygons_to_bitmask so training targets and eval GT masks share ONE
+    rasterization semantics."""
+    from ..evaluation.masks import polygons_to_bitmask
 
     h, w = max(1, hw[0] // stride), max(1, hw[1] // stride)
     out = np.zeros((len(polygons), h, w), np.float32)
     for i, rings in enumerate(polygons):
-        img = Image.new("L", (w, h), 0)
-        draw = ImageDraw.Draw(img)
-        for ring in rings:
-            pts = [(float(x) / stride, float(y) / stride) for x, y in ring]
-            if len(pts) >= 3:
-                draw.polygon(pts, fill=1)
-        out[i] = np.asarray(img, np.float32)
+        scaled = [np.asarray(ring, np.float64) / stride for ring in rings if len(ring) >= 3]
+        out[i] = polygons_to_bitmask(scaled, (h, w)).astype(np.float32)
     return out
 
 

@@ -60,7 +60,11 @@ def load_coco_panoptic_json(
             segments.append(
                 {
                     "id": seg["id"],
-                    "category_id": thing_map.get(cid, -1) if cid in thing_map else stuff_map[cid],
+                    # thing-space id for the instance branch
+                    "category_id": thing_map.get(cid, stuff_map[cid]),
+                    # stuff-space id for the semantic target (all categories
+                    # live in the stuff map)
+                    "stuff_category_id": stuff_map[cid],
                     "isthing": cid in thing_map,
                     "iscrowd": seg.get("iscrowd", 0),
                     "bbox": seg.get("bbox"),
@@ -89,7 +93,9 @@ def panoptic_png_to_sem_seg(
     ids = rgb2id(pan_png)
     out = np.full(ids.shape, ignore_label, np.int32)
     for seg in segments_info:
-        out[ids == seg["id"]] = seg["category_id"] if not seg["isthing"] else seg["category_id"]
+        # the STUFF-space id for every segment: thing-space ids would collide
+        # with unrelated stuff classes when category ids interleave
+        out[ids == seg["id"]] = seg.get("stuff_category_id", seg["category_id"])
     return out
 
 

@@ -25,7 +25,7 @@ def load_lvis_json(json_file: str, image_root: str, dataset_name: Optional[str] 
 
     cats = sorted(lvis["categories"], key=lambda c: c["id"])
     id_map = {c["id"]: i for i, c in enumerate(cats)}
-    thing_classes = [c.get("synonyms", [c["name"]])[0] if False else c["name"] for c in cats]
+    thing_classes = [c["name"] for c in cats]
     image_counts = [c.get("image_count", 0) for c in cats]
 
     if dataset_name is not None:

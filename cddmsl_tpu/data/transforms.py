@@ -353,9 +353,23 @@ class RotationTransform(Transform):
         rad = np.deg2rad(angle)
         self.cos, self.sin = np.cos(rad), np.sin(rad)
         if expand:
-            # epsilon guards float fuzz (cos(90deg) ~ 6e-17 would ceil +1)
-            self.new_w = int(np.ceil(abs(self.cos) * w + abs(self.sin) * h - 1e-6))
-            self.new_h = int(np.ceil(abs(self.sin) * w + abs(self.cos) * h - 1e-6))
+            # replicate PIL.Image.rotate(expand=True): transform the four
+            # corners around the center and take ceil(max) - floor(min) per
+            # axis — PIL then re-centers, so center maps to center and
+            # apply_coords below stays exact
+            import math
+
+            cx, cy = w / 2.0, h / 2.0
+            xs, ys = [], []
+            for x, y in ((0, 0), (w, 0), (w, h), (0, h)):
+                dx, dy = x - cx, y - cy
+                # round kills float fuzz (cos(90deg) ~ 6e-17) so exact
+                # multiples of 90 — which PIL special-cases as transposes —
+                # get the exact transpose canvas
+                xs.append(round(self.cos * dx + self.sin * dy + cx, 8))
+                ys.append(round(-self.sin * dx + self.cos * dy + cy, 8))
+            self.new_w = math.ceil(max(xs)) - math.floor(min(xs))
+            self.new_h = math.ceil(max(ys)) - math.floor(min(ys))
         else:
             self.new_w, self.new_h = w, h
 

@@ -328,7 +328,7 @@ class DefaultTrainer:
         for ds, res in results.items():
             for task, m in res.items():
                 for k, v in m.items():
-                    if not k.startswith("AP50-"):
+                    if "-" not in k:  # skip per-category keys (AP50-x, AP-x)
                         self.storage.put_scalar(f"{ds}/{task}/{k}", v, smoothing_hint=False)
 
     # ---- training ----
@@ -378,7 +378,11 @@ class DefaultTrainer:
                 h.after_train()
         self.state = jax.device_get(state)
         self.checkpointer.save("model_final", self.state)
-        return self.test(cfg, self.state) if cfg.DATASETS.TEST else {}
+        if not cfg.DATASETS.TEST:
+            return {}
+        results = self.test(cfg, self.state)
+        self._verify_final(results)
+        return results
 
     # ---- evaluation ----
     def test(self, cfg=None, state=None) -> Dict[str, dict]:
@@ -395,9 +399,13 @@ class DefaultTrainer:
             results[dataset_name] = res
             logger.info("Results on %s:", dataset_name)
             print_csv_format(res)
-        if cfg.TEST.EXPECTED_RESULTS and len(results) == 1:
-            # golden-metric check (reference defaults.py:497-501)
+        return results
+
+    def _verify_final(self, results) -> None:
+        """Golden-metric check (reference defaults.py:497-501 /
+        train_net.py:163-167) — only on FINAL results: intermediate periodic
+        evals are legitimately below the pinned end-of-training values."""
+        if self.cfg.TEST.EXPECTED_RESULTS and len(results) == 1:
             from ..evaluation import verify_results
 
-            assert verify_results(cfg, next(iter(results.values()))), "Result verification failed!"
-        return results
+            assert verify_results(self.cfg, next(iter(results.values()))), "Result verification failed!"

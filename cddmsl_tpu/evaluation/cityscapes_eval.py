@@ -29,6 +29,7 @@ class CityscapesInstanceEvaluator(COCOEvaluator):
         self.num_classes = len(CITYSCAPES_THING_CLASSES)
         self.class_names = CITYSCAPES_THING_CLASSES
         self.tasks = tuple(tasks)
+        self.output_json = None
         self.reset()
 
     def evaluate(self) -> Dict[str, Dict[str, float]]:

@@ -159,14 +159,10 @@ class COCOEvaluator:
             iscrowd = np.zeros(len(boxes), bool)
         rles = [None] * len(boxes)
         if segmentations is not None and "segm" in self.tasks:
-            from .masks import polygons_to_bitmask, rle_encode
+            # each entry may be polygons, an RLE dict (crowds), or an array
+            from .masks import segmentation_to_rle
 
-            rles = [
-                rle_encode(polygons_to_bitmask(
-                    [np.asarray(p, np.float64).reshape(-1, 2) for p in (segs or [])], image_hw
-                ))
-                for segs in segmentations
-            ]
+            rles = [segmentation_to_rle(segs, image_hw) for segs in segmentations]
         for b, c, cr, r in zip(boxes, classes, iscrowd, rles):
             self._gts[int(c)][image_id].append((np.asarray(b, np.float64), bool(cr), r))
 

@@ -60,7 +60,9 @@ def inference_on_dataset(
                         "segmentations": [a.get("segmentation") for a in meta["annotations"]],
                         "image_hw": hw,
                     }
-                if "neg_category_ids" in meta:  # LVIS per-image exhaustiveness
+                if "neg_category_ids" in meta and getattr(evaluator, "accepts_lvis_ignore", False):
+                    # LVIS per-image exhaustiveness (only evaluators that
+                    # declare support — COCOEvaluator.process_gt would TypeError)
                     gt_kwargs["neg_category_ids"] = meta["neg_category_ids"]
                     gt_kwargs["not_exhaustive_category_ids"] = meta.get(
                         "not_exhaustive_category_ids", ()

@@ -19,6 +19,10 @@ from .coco_eval import AREA_RANGES, IOU_THRESHOLDS, RECALL_POINTS, _eval_image
 
 
 class LVISEvaluator:
+    # inference_on_dataset forwards per-image neg/not-exhaustive ids only to
+    # evaluators that declare support
+    accepts_lvis_ignore = True
+
     def __init__(
         self,
         dataset_name: str = "",

@@ -72,6 +72,54 @@ def polygons_to_bitmask(polygons: Sequence[np.ndarray], hw: Tuple[int, int]) -> 
     return np.asarray(img, bool)
 
 
+def coco_rle_to_bitmask(rle: Dict) -> np.ndarray:
+    """COCO RLE dict (uncompressed list counts OR compressed-string counts,
+    the pycocotools frUncompressedRLE/decode formats) -> (H, W) bool."""
+    counts = rle["counts"]
+    if isinstance(counts, (bytes, str)):
+        if isinstance(counts, bytes):
+            counts = counts.decode("ascii")
+        counts = _decode_compressed_counts(counts)
+    return rle_decode({"size": rle["size"], "counts": list(counts)})
+
+
+def _decode_compressed_counts(s: str) -> List[int]:
+    """pycocotools' modified-LEB128 string encoding of run lengths."""
+    counts: List[int] = []
+    i = 0
+    while i < len(s):
+        x = 0
+        k = 0
+        more = True
+        while more:
+            c = ord(s[i]) - 48
+            x |= (c & 0x1F) << (5 * k)
+            more = bool(c & 0x20)
+            i += 1
+            k += 1
+            if not more and (c & 0x10):
+                x |= -1 << (5 * k)
+        if len(counts) > 2:
+            x += counts[-2]
+        counts.append(x)
+    return counts
+
+
+def segmentation_to_rle(seg, image_hw) -> Dict:
+    """Any COCO 'segmentation' field -> our uncompressed RLE:
+    polygon list, RLE dict (either counts form), or (H, W) array."""
+    if seg is None:
+        return rle_encode(np.zeros((int(image_hw[0]), int(image_hw[1])), bool))
+    if isinstance(seg, dict):
+        return rle_encode(coco_rle_to_bitmask(seg))
+    if isinstance(seg, np.ndarray):
+        return rle_encode(seg.astype(bool))
+    # list of polygon rings
+    return rle_encode(
+        polygons_to_bitmask([np.asarray(p, np.float64).reshape(-1, 2) for p in seg], image_hw)
+    )
+
+
 # ---------------- uncompressed COCO RLE (column-major) ----------------
 def rle_encode(mask: np.ndarray) -> Dict:
     """(H, W) bool -> {'size': [H, W], 'counts': [int, ...]} — COCO

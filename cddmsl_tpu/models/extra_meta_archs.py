@@ -192,15 +192,23 @@ class KeypointROIHeads(nn.Module):
         (N, K) flat heatmap indices + (N, K) validity (reference
         structures/keypoints.py _keypoints_to_heatmap)."""
         x1, y1 = boxes[:, 0:1], boxes[:, 1:2]
-        w = jnp.maximum(boxes[:, 2:3] - x1, 1e-4)
-        h = jnp.maximum(boxes[:, 3:4] - y1, 1e-4)
+        x2, y2 = boxes[:, 2:3], boxes[:, 3:4]
+        w = jnp.maximum(x2 - x1, 1e-4)
+        h = jnp.maximum(y2 - y1, 1e-4)
         sx = heatmap_size / w
         sy = heatmap_size / h
         kx = jnp.floor((keypoints[..., 0] - x1) * sx).astype(jnp.int32)
         ky = jnp.floor((keypoints[..., 1] - y1) * sy).astype(jnp.int32)
-        inside = (kx >= 0) & (kx < heatmap_size) & (ky >= 0) & (ky < heatmap_size)
+        # reference _keypoints_to_heatmap: boundary coordinates (x == x2)
+        # clamp into the last bin and stay VISIBLE; validity is in COORD space
+        kx = jnp.clip(kx, 0, heatmap_size - 1)
+        ky = jnp.clip(ky, 0, heatmap_size - 1)
+        inside = (
+            (keypoints[..., 0] >= x1) & (keypoints[..., 0] <= x2)
+            & (keypoints[..., 1] >= y1) & (keypoints[..., 1] <= y2)
+        )
         vis = (keypoints[..., 2] > 0) & inside
-        pos = jnp.clip(ky, 0, heatmap_size - 1) * heatmap_size + jnp.clip(kx, 0, heatmap_size - 1)
+        pos = ky * heatmap_size + kx
         return pos, vis
 
     def losses(self, features, boxes, fg_valid, gt_keypoints):

@@ -82,3 +82,16 @@ def test_random_rotation_sampling():
     assert isinstance(t, NoOpTransform)
     t2 = RandomRotation([30.0], sample_style="choice").get_transform(img, rng)
     assert isinstance(t2, RotationTransform)
+
+
+def test_rotation_canvas_matches_pil_property():
+    """new_h/new_w must equal PIL's expand=True output for arbitrary angles
+    (code-review finding: the old ceil-of-extent formula was off by 1px for
+    most (angle, h, w) combinations, shifting all coordinates)."""
+    r = np.random.RandomState(0)
+    for _ in range(60):
+        h, w = int(r.randint(30, 200)), int(r.randint(30, 200))
+        a = float(r.uniform(-180, 180))
+        t = RotationTransform(h, w, a, expand=True)
+        out = t.apply_image((r.rand(h, w, 3) * 255).astype(np.uint8))
+        assert out.shape[:2] == (t.new_h, t.new_w), (h, w, a)
