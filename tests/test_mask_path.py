@@ -171,3 +171,32 @@ def test_fpn_mask_branch():
     assert "loss_mask" in losses and np.isfinite(float(losses["loss_mask"]))
     det, _ = heads.apply(params, fpn, proposals, sizes, False)
     assert det.masks is not None and det.masks.shape[:2] == (b, 8)
+
+
+def test_coco_compressed_rle_decode():
+    """Compressed-string RLE counts (pycocotools LEB128 variant) decode to
+    the same mask as the uncompressed list form."""
+    from cddmsl_tpu.evaluation.masks import coco_rle_to_bitmask, rle_decode, rle_encode
+
+    def encode_counts(counts):
+        # inverse of _decode_compressed_counts (pycocotools rleToString)
+        s = []
+        for i, x in enumerate(counts):
+            if i > 2:
+                x -= counts[i - 2]
+            more = True
+            while more:
+                c = x & 0x1F
+                x >>= 5
+                more = not (x == 0 and not (c & 0x10)) and not (x == -1 and (c & 0x10))
+                if more:
+                    c |= 0x20
+                s.append(chr(c + 48))
+        return "".join(s)
+
+    r = np.random.RandomState(3)
+    m = r.rand(17, 11) > 0.5
+    rle = rle_encode(m)
+    compressed = {"size": rle["size"], "counts": encode_counts(list(rle["counts"]))}
+    np.testing.assert_array_equal(coco_rle_to_bitmask(compressed), m)
+    np.testing.assert_array_equal(coco_rle_to_bitmask(rle), m)
