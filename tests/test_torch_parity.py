@@ -234,3 +234,84 @@ def test_text_tower_logit_parity(rng):
                          layers=layers, embed_dim=embed)
     got = jm.apply(params, jnp.asarray(tokens.astype(np.int32)))
     np.testing.assert_allclose(np.asarray(got), want.numpy(), atol=2e-4, rtol=1e-3)
+
+
+# ---------------- torch oracle: d2-style ResNet (public arch) ----------------
+class _TorchD2Bottleneck(nn.Module):
+    """d2 BottleneckBlock with stride_in_1x1=True and checkpoint key naming
+    convN.weight / convN.norm.* / shortcut.weight / shortcut.norm.*."""
+
+    def __init__(self, in_ch, bottleneck_ch, out_ch, stride=1):
+        super().__init__()
+        self.conv1 = nn.Conv2d(in_ch, bottleneck_ch, 1, stride=stride, bias=False)
+        self.conv1.norm = nn.BatchNorm2d(bottleneck_ch)
+        self.conv2 = nn.Conv2d(bottleneck_ch, bottleneck_ch, 3, padding=1, bias=False)
+        self.conv2.norm = nn.BatchNorm2d(bottleneck_ch)
+        self.conv3 = nn.Conv2d(bottleneck_ch, out_ch, 1, bias=False)
+        self.conv3.norm = nn.BatchNorm2d(out_ch)
+        self.shortcut = None
+        if stride > 1 or in_ch != out_ch:
+            self.shortcut = nn.Conv2d(in_ch, out_ch, 1, stride=stride, bias=False)
+            self.shortcut.norm = nn.BatchNorm2d(out_ch)
+
+    def forward(self, x):
+        out = F.relu(self.conv1.norm(self.conv1(x)))
+        out = F.relu(self.conv2.norm(self.conv2(out)))
+        out = self.conv3.norm(self.conv3(out))
+        sc = self.shortcut.norm(self.shortcut(x)) if self.shortcut is not None else x
+        return F.relu(out + sc)
+
+
+def test_d2_resnet_converter_logit_parity(rng):
+    """convert_d2_resnet (the bb_rpn_weights offline-RPN path) must map a
+    d2-naming torch checkpoint onto D2ResNet with numerically identical
+    forwards."""
+    from cddmsl_tpu.checkpoint.convert_torch import convert_d2_resnet
+    from cddmsl_tpu.models.backbone.resnet import D2ResNet
+
+    torch.manual_seed(2)
+
+    class _TorchD2ResNet(nn.Module):
+        def __init__(self):
+            super().__init__()
+
+            class Stem(nn.Module):
+                def __init__(self):
+                    super().__init__()
+                    self.conv1 = nn.Conv2d(3, 8, 7, stride=2, padding=3, bias=False)
+                    self.conv1.norm = nn.BatchNorm2d(8)
+
+                def forward(self, x):
+                    x = F.relu(self.conv1.norm(self.conv1(x)))
+                    return F.max_pool2d(x, 3, stride=2, padding=1)
+
+            self.stem = Stem()
+            # depth-10 spec: one block per stage, d2 channel ladder from
+            # stem 8 / res2 32 (width_per_group 8)
+            self.res2 = nn.Sequential(_TorchD2Bottleneck(8, 8, 32, 1))
+            self.res3 = nn.Sequential(_TorchD2Bottleneck(32, 16, 64, 2))
+            self.res4 = nn.Sequential(_TorchD2Bottleneck(64, 32, 128, 2))
+            self.res5 = nn.Sequential(_TorchD2Bottleneck(128, 64, 256, 2))
+
+        def forward(self, x):
+            x = self.stem(x)
+            x = self.res2(x)
+            x = self.res3(x)
+            return self.res4(x)
+
+    tm = _TorchD2ResNet()
+    _randomize_bn(tm, rng)
+    tm.eval()
+
+    x = rng.rand(2, 3, 64, 64).astype(np.float32)
+    with torch.no_grad():
+        want = tm(torch.from_numpy(x)).numpy()
+
+    sd = {"backbone." + k: v.numpy() for k, v in tm.state_dict().items()}
+    params = {"params": convert_d2_resnet(sd, "backbone.")}
+    jm = D2ResNet(depth=10, out_features=("res4",), stem_out_channels=8,
+                  res2_out_channels=32, width_per_group=8)
+    got = jm.apply(params, jnp.asarray(np.transpose(x, (0, 2, 3, 1))))["res4"]
+    np.testing.assert_allclose(
+        np.transpose(np.asarray(got), (0, 3, 1, 2)), want, atol=2e-4, rtol=1e-3
+    )
