@@ -153,6 +153,16 @@ def get_default_cfg() -> CfgNode:
     _C.MODEL.ROI_MASK_HEAD.CLS_AGNOSTIC_MASK = False
     _C.MODEL.ROI_MASK_HEAD.POOLER_TYPE = "ROIAlignV2"
 
+    # ------------- MODEL.ROI_KEYPOINT_HEAD (reference defaults.py:471-484) -------------
+    _C.MODEL.ROI_KEYPOINT_HEAD = CfgNode()
+    _C.MODEL.ROI_KEYPOINT_HEAD.NAME = "KRCNNConvDeconvUpsampleHead"
+    _C.MODEL.ROI_KEYPOINT_HEAD.POOLER_RESOLUTION = 14
+    _C.MODEL.ROI_KEYPOINT_HEAD.POOLER_SAMPLING_RATIO = 0
+    _C.MODEL.ROI_KEYPOINT_HEAD.CONV_DIMS = [512] * 8
+    _C.MODEL.ROI_KEYPOINT_HEAD.NUM_KEYPOINTS = 17  # COCO person
+    _C.MODEL.ROI_KEYPOINT_HEAD.LOSS_WEIGHT = 1.0
+    _C.MODEL.ROI_KEYPOINT_HEAD.POOLER_TYPE = "ROIAlignV2"
+
     # ---------------- MODEL.CLIP (reference defaults.py:195-238) ----------------
     _C.MODEL.CLIP = CfgNode()
     _C.MODEL.CLIP.CROP_REGION_TYPE = "RPN"

@@ -131,6 +131,7 @@ def pad_and_collate(
     max_gt: int = 100,
     with_trgt: bool = True,
     mask_stride: int = 0,
+    num_keypoints: int = 0,
 ) -> DetBatch:
     b = len(samples)
     H, W = pad_hw
@@ -145,6 +146,9 @@ def pad_and_collate(
         np.zeros((b, max_gt, max(1, H // mask_stride), max(1, W // mask_stride)), np.float32)
         if mask_stride
         else None
+    )
+    gt_keypoints = (
+        np.zeros((b, max_gt, num_keypoints, 3), np.float32) if num_keypoints else None
     )
     for i, s in enumerate(samples):
         img = s["image"]
@@ -164,6 +168,9 @@ def pad_and_collate(
             if gt_masks is not None and s.get("polygons"):
                 # rasterize in the PADDED canvas so box coords line up
                 gt_masks[i, :n] = rasterize_polygons(s["polygons"][:n], (H, W), mask_stride)
+            if gt_keypoints is not None and s.get("keypoints") is not None and len(s["keypoints"]):
+                kp = np.asarray(s["keypoints"], np.float32)[:n]
+                gt_keypoints[i, :n, : kp.shape[1]] = kp[:, :num_keypoints]
     import jax.numpy as jnp
 
     return DetBatch(
@@ -175,6 +182,7 @@ def pad_and_collate(
         gt_valid=jnp.asarray(gt_valid),
         image_trgt=jnp.asarray(images_t) if with_trgt else None,
         gt_masks=jnp.asarray(gt_masks) if gt_masks is not None else None,
+        gt_keypoints=jnp.asarray(gt_keypoints) if gt_keypoints is not None else None,
     )
 
 
@@ -245,6 +253,7 @@ def build_detection_train_loader(
     pad_hw = tuple(cfg.TPU.PAD_SIZE_TRAIN)
     max_gt = cfg.TPU.MAX_GT_BOXES
     mask_stride = cfg.TPU.MASK_CANVAS_STRIDE if cfg.MODEL.MASK_ON else 0
+    num_kp = cfg.MODEL.ROI_KEYPOINT_HEAD.NUM_KEYPOINTS if cfg.MODEL.KEYPOINT_ON else 0
     bucket_ladder = [tuple(b) for b in cfg.TPU.PAD_BUCKETS]
     aspect_grouping = cfg.DATALOADER.ASPECT_RATIO_GROUPING
 
@@ -257,7 +266,8 @@ def build_detection_train_loader(
             buckets.setdefault(key, []).append(sample)
             if len(buckets[key]) == batch_size:
                 group, buckets[key] = buckets[key], []
-                yield pad_and_collate(group, key, max_gt, with_trgt=True, mask_stride=mask_stride)
+                yield pad_and_collate(group, key, max_gt, with_trgt=True, mask_stride=mask_stride,
+                                      num_keypoints=num_kp)
 
     return iter(_Prefetcher(gen, depth=cfg.DATALOADER.NUM_WORKERS))
 
@@ -377,3 +387,55 @@ def build_semisup_train_loader_two_crops(cfg, seed: int = 0):
             )
 
     return iter(_Prefetcher(gen, depth=cfg.DATALOADER.NUM_WORKERS))
+
+
+def build_lazy_train_loader(
+    dataset: str,
+    batch_size: int = 2,
+    min_size: Sequence[int] = (96,),
+    max_size: int = 160,
+    pad_hw: Sequence[int] = (96, 144),
+    max_gt: int = 100,
+    mask_on: bool = False,
+    keypoint_on: bool = False,
+    num_keypoints: int = 17,
+    num_workers: int = 0,
+    seed: int = 0,
+):
+    """Explicit-args train loader for LazyConfig recipes (the equivalent of
+    the reference configs/common/data/*.py dataloader.train entries, which
+    call build_detection_train_loader with explicit mapper args). Builds a
+    minimal cfg internally and delegates to build_detection_train_loader."""
+    from ..config import get_cfg
+
+    cfg = get_cfg()
+    cfg.DATASETS.TRAIN = [dataset]
+    cfg.SOLVER.IMS_PER_BATCH = batch_size
+    cfg.INPUT.MIN_SIZE_TRAIN = list(min_size)
+    cfg.INPUT.MAX_SIZE_TRAIN = max_size
+    cfg.TPU.PAD_SIZE_TRAIN = list(pad_hw)
+    cfg.TPU.MAX_GT_BOXES = max_gt
+    cfg.MODEL.MASK_ON = mask_on
+    cfg.MODEL.KEYPOINT_ON = keypoint_on
+    cfg.MODEL.ROI_KEYPOINT_HEAD.NUM_KEYPOINTS = num_keypoints
+    cfg.DATALOADER.NUM_WORKERS = num_workers
+    return build_detection_train_loader(cfg, seed=seed)
+
+
+def build_lazy_test_loader(
+    dataset: str,
+    batch_size: int = 2,
+    min_size: int = 96,
+    max_size: int = 160,
+    pad_hw: Sequence[int] = (96, 144),
+    max_gt: int = 100,
+):
+    """Explicit-args test loader for LazyConfig recipes."""
+    from ..config import get_cfg
+
+    cfg = get_cfg()
+    cfg.INPUT.MIN_SIZE_TEST = min_size
+    cfg.INPUT.MAX_SIZE_TEST = max_size
+    cfg.TPU.PAD_SIZE_TEST = list(pad_hw)
+    cfg.TPU.MAX_GT_BOXES = max_gt
+    return build_detection_test_loader(cfg, dataset)

@@ -31,7 +31,8 @@ def read_image(path: str, fmt: str = "RGB") -> np.ndarray:
 
 
 def _transform_annotations(
-    annos: List[dict], tfms, image_hw, with_masks: bool = False
+    annos: List[dict], tfms, image_hw, with_masks: bool = False,
+    with_keypoints: bool = False, hflip_indices=None,
 ) -> Dict[str, np.ndarray]:
     boxes = np.array([a["bbox"] for a in annos], np.float32).reshape(-1, 4)
     classes = np.array([a["category_id"] for a in annos], np.int32).reshape(-1)
@@ -47,6 +48,21 @@ def _transform_annotations(
                 if len(pts) >= 3:
                     rings.append(tfms.apply_coords(pts))
             polygons.append(rings)
+    keypoints = None
+    if with_keypoints:
+        # (N, K, 3) image-coord keypoints through the shared TransformList
+        # (reference detection_utils.py transform_instance_annotations
+        # keypoints branch)
+        from .transforms import transform_keypoint_annotations
+
+        kps = [np.asarray(a.get("keypoints", []), np.float32).reshape(-1, 3) for a in annos]
+        k = max((len(x) for x in kps), default=0)
+        keypoints = np.zeros((len(annos), k, 3), np.float32)
+        for i, kp in enumerate(kps):
+            if len(kp):
+                keypoints[i, : len(kp)] = transform_keypoint_annotations(
+                    kp, tfms, image_hw, hflip_indices
+                )
     if len(boxes):
         boxes = tfms.apply_box(boxes)
         h, w = image_hw
@@ -56,9 +72,13 @@ def _transform_annotations(
         boxes, classes = boxes[keep], classes[keep]
         if polygons is not None:
             polygons = [p for p, k in zip(polygons, keep) if k]
+        if keypoints is not None and len(keypoints):
+            keypoints = keypoints[keep]
     out = {"boxes": boxes, "classes": classes}
     if polygons is not None:
         out["polygons"] = polygons
+    if keypoints is not None:
+        out["keypoints"] = keypoints
     return out
 
 
@@ -71,6 +91,19 @@ class DatasetMapper:
         self.augmentations = build_augmentation(cfg, is_train)
         self.image_format = cfg.INPUT.FORMAT
         self.use_instance_mask = cfg.MODEL.MASK_ON
+        self.use_keypoint = cfg.MODEL.KEYPOINT_ON
+        self._hflip_indices = None
+        if self.use_keypoint:
+            # (reference DatasetMapper.from_config: keypoint_hflip_indices
+            # from the train datasets' keypoint_flip_map metadata)
+            from .catalog import MetadataCatalog
+            from .transforms import create_keypoint_hflip_indices
+
+            names = cfg.DATASETS.TRAIN if is_train else cfg.DATASETS.TEST
+            if names:
+                meta = MetadataCatalog.get(names[0])
+                if meta.get("keypoint_names"):
+                    self._hflip_indices = create_keypoint_hflip_indices(meta)
 
     def __call__(self, dataset_dict: dict, rng: np.random.RandomState) -> dict:
         d = dict(dataset_dict)
@@ -99,12 +132,17 @@ class DatasetMapper:
         if "annotations" in d:
             # difficult instances are excluded from training (d2 VOC convention)
             annos = [a for a in d["annotations"] if not (self.is_train and a.get("difficult", 0))]
-            t = _transform_annotations(annos, tfms, hw, with_masks=self.use_instance_mask)
+            t = _transform_annotations(
+                annos, tfms, hw, with_masks=self.use_instance_mask,
+                with_keypoints=self.use_keypoint, hflip_indices=self._hflip_indices,
+            )
             out.update(t)
         else:
             out.update({"boxes": np.zeros((0, 4), np.float32), "classes": np.zeros((0,), np.int32)})
             if self.use_instance_mask:
                 out["polygons"] = []
+            if self.use_keypoint:
+                out["keypoints"] = np.zeros((0, 0, 3), np.float32)
         return out
 
 

@@ -58,6 +58,13 @@ def load_coco_json(
                 # kept verbatim for the evaluator; the mapper rasterizes
                 # polygons only)
                 rec["segmentation"] = seg
+            kp = ann.get("keypoints")
+            if kp is not None:
+                # flat [x0,y0,v0,...] COCO keypoints (reference coco.py
+                # keypoints handling incl. the +0.5 pixel-center shift for
+                # v>0 coords is applied downstream by the mapper's
+                # transform; keep raw here)
+                rec["keypoints"] = kp
             annos.append(rec)
         record["annotations"] = annos
         dicts.append(record)

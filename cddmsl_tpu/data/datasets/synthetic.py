@@ -80,3 +80,96 @@ def register_synthetic_quick(root: str, prefix: str = "synthetic_voc") -> None:
     ):
         if name not in DatasetCatalog:
             fn()
+
+
+def make_synthetic_coco(
+    root: str,
+    n: int = 6,
+    seed: int = 0,
+    classes: Tuple[str, ...] = ("dog", "cat"),
+    with_keypoints: bool = False,
+) -> Tuple[str, str]:
+    """Write a deterministic COCO-JSON dataset under `root`: images with one
+    bright DIAMOND per object (so the mask differs from the box and a mask
+    head can overfit the shape), polygon segmentations, and (optionally)
+    3 visible keypoints per object at fixed box-relative positions. Returns
+    (json_path, image_root)."""
+    import json
+
+    from PIL import Image
+
+    rng = np.random.RandomState(seed)
+    img_root = os.path.join(root, "coco_synth", "images")
+    os.makedirs(img_root, exist_ok=True)
+    h, w = _FIXTURE_HW
+    images, annotations = [], []
+    ann_id = 1
+    for i in range(n):
+        img = (rng.rand(h, w, 3) * 60).astype(np.uint8)
+        images.append({"id": i + 1, "file_name": f"{i:06d}.jpg", "height": h, "width": w})
+        for _ in range(rng.randint(1, 3)):
+            bw = int(34 + rng.rand() * 36)
+            bh = int(30 + rng.rand() * 30)
+            x1 = int(rng.rand() * (w - bw - 2)) + 1
+            y1 = int(rng.rand() * (h - bh - 2)) + 1
+            cid = int(rng.randint(len(classes)))
+            cx, cy = x1 + bw / 2.0, y1 + bh / 2.0
+            # diamond polygon (midpoints of the box edges)
+            poly = [cx, y1, x1 + bw, cy, cx, y1 + bh, x1, cy]
+            yy, xx = np.mgrid[0:h, 0:w]
+            inside = (np.abs(xx + 0.5 - cx) / (bw / 2.0) + np.abs(yy + 0.5 - cy) / (bh / 2.0)) <= 1.0
+            img[inside] = 255 if cid == 0 else 160
+            ann = {
+                "id": ann_id,
+                "image_id": i + 1,
+                "category_id": cid + 1,
+                "bbox": [x1, y1, bw, bh],
+                "area": bw * bh / 2.0,
+                "iscrowd": 0,
+                "segmentation": [poly],
+            }
+            if with_keypoints:
+                # 3 keypoints at fixed box-relative spots; mark them with
+                # distinctive dots so the heatmap head can localize them
+                kps = [
+                    (x1 + 0.25 * bw, y1 + 0.25 * bh),
+                    (cx, cy),
+                    (x1 + 0.75 * bw, y1 + 0.75 * bh),
+                ]
+                flat = []
+                for j, (kx, ky) in enumerate(kps):
+                    ix, iy = int(kx), int(ky)
+                    img[max(0, iy - 1) : iy + 2, max(0, ix - 1) : ix + 2] = (j + 1) * 60
+                    flat += [float(kx), float(ky), 2]
+                ann["keypoints"] = flat
+                ann["num_keypoints"] = 3
+            annotations.append(ann)
+            ann_id += 1
+        Image.fromarray(img).save(os.path.join(img_root, f"{i:06d}.jpg"))
+    categories = [{"id": c + 1, "name": name} for c, name in enumerate(classes)]
+    json_path = os.path.join(root, "coco_synth", "instances.json")
+    with open(json_path, "w") as f:
+        json.dump({"images": images, "annotations": annotations, "categories": categories}, f)
+    return json_path, img_root
+
+
+def register_synthetic_coco(
+    root: str, prefix: str = "synthetic_coco", with_keypoints: bool = False
+) -> None:
+    """Create the COCO fixture under `root` and register `{prefix}_train` /
+    `{prefix}_val` (same images — the goldens overfit by design)."""
+    from ..catalog import DatasetCatalog, MetadataCatalog
+    from .coco import register_coco_instances
+
+    json_path, img_root = make_synthetic_coco(root, with_keypoints=with_keypoints)
+    for name in (f"{prefix}_train", f"{prefix}_val"):
+        if name in DatasetCatalog:
+            continue
+        register_coco_instances(name, json_path, img_root)
+        if with_keypoints:
+            MetadataCatalog.get(name).set(
+                keypoint_names=("kp_tl", "kp_center", "kp_br"),
+                # kp_tl/kp_br mirror to themselves (symmetric fixture)
+                keypoint_flip_map=(),
+                keypoint_oks_sigmas=(0.05, 0.05, 0.05),
+            )

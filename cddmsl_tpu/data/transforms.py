@@ -531,3 +531,37 @@ class RandomRotation(Augmentation):
             return NoOpTransform()
         h, w = img.shape[:2]
         return RotationTransform(h, w, a, expand=self.expand)
+
+
+# ---------------- keypoint transforms ----------------
+def create_keypoint_hflip_indices(meta) -> np.ndarray:
+    """(reference detection_utils.py:506-528) keypoint_names +
+    keypoint_flip_map metadata -> per-keypoint horizontally-flipped index."""
+    names = list(meta.get("keypoint_names") or ())
+    flip_map = dict(meta.get("keypoint_flip_map") or ())
+    flip_map.update({v: k for k, v in flip_map.items()})
+    flipped = [flip_map.get(n, n) for n in names]
+    return np.asarray([names.index(n) for n in flipped], np.int32)
+
+
+def transform_keypoint_annotations(
+    keypoints: np.ndarray, tfms, image_hw, hflip_indices: Optional[np.ndarray] = None
+) -> np.ndarray:
+    """(K, 3) (x, y, vis) keypoints through a TransformList (reference
+    detection_utils.py:336-375): apply_coords on xy; out-of-boundary points
+    become unlabeled (vis 0, xy zeroed per COCO convention); an odd number of
+    HFlipTransforms swaps left/right keypoints via `hflip_indices`."""
+    kp = np.asarray(keypoints, np.float64).reshape(-1, 3).copy()
+    xy = tfms.apply_coords(kp[:, :2].astype(np.float32)).astype(np.float64)
+    h, w = image_hw
+    inside = (xy[:, 0] >= 0) & (xy[:, 1] >= 0) & (xy[:, 0] <= w) & (xy[:, 1] <= h)
+    kp[:, :2] = xy
+    kp[~inside, 2] = 0
+    do_hflip = (
+        sum(isinstance(t, HFlipTransform) for t in getattr(tfms, "transforms", [tfms])) % 2 == 1
+    )
+    if do_hflip:
+        assert hflip_indices is not None, "hflip on keypoints needs keypoint_flip_map metadata"
+        kp = kp[np.asarray(hflip_indices, np.int32)]
+    kp[kp[:, 2] == 0] = 0  # COCO: unlabeled -> x = y = 0
+    return kp.astype(np.float32)

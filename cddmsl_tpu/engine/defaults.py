@@ -95,6 +95,11 @@ def _init_batch(cfg) -> DetBatch:
             if cfg.MODEL.MASK_ON
             else None
         ),
+        gt_keypoints=(
+            jnp.zeros((b, g, cfg.MODEL.ROI_KEYPOINT_HEAD.NUM_KEYPOINTS, 3), jnp.float32)
+            if cfg.MODEL.KEYPOINT_ON
+            else None
+        ),
     )
 
 
@@ -112,7 +117,11 @@ def build_evaluator(cfg, dataset_name: str):
     if ev_type == "coco":
         from ..evaluation.coco_eval import COCOEvaluator
 
-        tasks = ("bbox", "segm") if cfg.MODEL.MASK_ON else ("bbox",)
+        tasks = ("bbox",)
+        if cfg.MODEL.MASK_ON:
+            tasks += ("segm",)
+        if cfg.MODEL.KEYPOINT_ON:
+            tasks += ("keypoints",)
         # prediction dump (reference: OUTPUT_DIR/inference/coco_instances_results.json)
         out_json = (
             os.path.join(cfg.OUTPUT_DIR, "inference", f"coco_instances_results_{dataset_name}.json")
@@ -127,7 +136,11 @@ def build_evaluator(cfg, dataset_name: str):
     if ev_type == "cityscapes_instance":
         from ..evaluation.cityscapes_eval import CityscapesInstanceEvaluator
 
-        return CityscapesInstanceEvaluator(dataset_name)
+        # mask-level AP (the published cityscapesscripts metric) when the
+        # model produces masks; bbox proxy (with a warning) otherwise
+        return CityscapesInstanceEvaluator(
+            dataset_name, tasks=("segm",) if cfg.MODEL.MASK_ON else ("bbox",)
+        )
     if ev_type == "sem_seg":
         from ..evaluation.sem_seg_eval import SemSegEvaluator
 

@@ -3,10 +3,15 @@ cityscapes_evaluation.py:194 CityscapesInstanceEvaluator +
 CityscapesSemSegEvaluator). The reference shells out to the
 `cityscapesscripts` package; that package is unavailable here, so:
   * instance AP is computed natively — Cityscapes instance AP is mean AP
-    over IoU .50:.95 per thing class, which the COCO machinery already
-    implements (no crowd, area splits ignored)
+    over IoU .50:.95 per thing class at the MASK level (reference
+    cityscapes_evaluation.py:96-108 reports a "segm" AP via
+    cityscapesscripts' mask matching); the COCO machinery computes it from
+    the native RLE mask-IoU (evaluation/masks.py). When the model has no
+    mask head (MASK_ON=False) the evaluator falls back to bbox IoU with a
+    logged warning — a PROXY, not the published metric
   * semantic IoU reuses SemSegEvaluator over the 19 eval classes."""
 
+import logging
 from typing import Dict
 
 from .coco_eval import COCOEvaluator
@@ -17,8 +22,16 @@ CITYSCAPES_THING_CLASSES = [
 ]
 
 
+logger = logging.getLogger(__name__)
+
+
 class CityscapesInstanceEvaluator(COCOEvaluator):
-    def __init__(self, dataset_name: str = "", tasks=("bbox",)):
+    def __init__(self, dataset_name: str = "", tasks=("segm",)):
+        if "segm" not in tasks:
+            logger.warning(
+                "CityscapesInstanceEvaluator without a mask head: reporting "
+                "bbox-IoU AP, a proxy for the published mask-level metric"
+            )
         if dataset_name:
             try:
                 super().__init__(dataset_name, tasks=tasks)

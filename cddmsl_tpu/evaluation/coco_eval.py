@@ -30,6 +30,49 @@ AREA_RANGES = {
     "medium": (32 ** 2, 96 ** 2),
     "large": (96 ** 2, 1e10),
 }
+# pycocotools Params.setKpParams: keypoints AP uses all/medium/large only
+KP_AREA_RANGES = {k: AREA_RANGES[k] for k in ("all", "medium", "large")}
+# pycocotools COCO-person OKS sigmas (cocoeval.py Params.kpt_oks_sigmas)
+COCO_PERSON_SIGMAS = np.array(
+    [.26, .25, .25, .35, .35, .79, .79, .72, .72, .62, .62, 1.07, 1.07, .87, .87, .89, .89]
+) / 10.0
+
+
+def _oks_matrix(det_kps, gt_kps, gt_boxes, sigmas):
+    """(D,K,3) det keypoints x (G,K,3) gt keypoints -> (D,G) OKS
+    (pycocotools cocoeval.py computeOks; gt area approximated by the gt BOX
+    area — this repo's GT store is box-based; rectangle-ish objects differ
+    negligibly, documented in docs/PARITY.md)."""
+    D, G = len(det_kps), len(gt_kps)
+    if D == 0 or G == 0:
+        return np.zeros((D, G))
+    k = det_kps.shape[1]
+    var = (sigmas[:k] * 2.0) ** 2  # (K,)
+    areas = np.maximum(
+        (gt_boxes[:, 2] - gt_boxes[:, 0]) * (gt_boxes[:, 3] - gt_boxes[:, 1]), 1e-6
+    )
+    out = np.zeros((D, G))
+    for g in range(G):
+        xg, yg, vg = gt_kps[g, :, 0], gt_kps[g, :, 1], gt_kps[g, :, 2]
+        lab = vg > 0
+        k1 = int(lab.sum())
+        x0, y0, x1, y1 = gt_boxes[g]
+        bw, bh = x1 - x0, y1 - y0
+        for d in range(D):
+            xd, yd = det_kps[d, :, 0], det_kps[d, :, 1]
+            if k1 > 0:
+                dx, dy = xd - xg, yd - yg
+                e = (dx ** 2 + dy ** 2) / var / (areas[g] + np.spacing(1)) / 2.0
+                out[d, g] = np.mean(np.exp(-e[lab]))
+            else:
+                # crowd-style distance to the expanded gt box
+                ex0, ex1 = x0 - bw, x1 + bw
+                ey0, ey1 = y0 - bh, y1 + bh
+                dx = np.maximum(0, ex0 - xd) + np.maximum(0, xd - ex1)
+                dy = np.maximum(0, ey0 - yd) + np.maximum(0, yd - ey1)
+                e = (dx ** 2 + dy ** 2) / var / (areas[g] + np.spacing(1)) / 2.0
+                out[d, g] = np.mean(np.exp(-e))
+    return out
 
 
 def _iou_matrix(dets: np.ndarray, gts: np.ndarray, iscrowd: np.ndarray) -> np.ndarray:
@@ -129,6 +172,10 @@ class COCOEvaluator:
         self.class_names = classes
         self.tasks = tuple(tasks)
         self.output_json = output_json
+        # keypoints task: OKS sigmas from metadata (reference
+        # coco_evaluation.py:188-309 keypoints branch + kpt_oks_sigmas)
+        sig = meta.get("keypoint_oks_sigmas")
+        self.kpt_oks_sigmas = np.asarray(sig) if sig is not None else COCO_PERSON_SIGMAS
         self.reset()
 
     def reset(self):
@@ -136,11 +183,16 @@ class COCOEvaluator:
         self._dets = defaultdict(lambda: defaultdict(list))
         # cls -> img -> [(box, iscrowd, rle_or_None)]
         self._gts = defaultdict(lambda: defaultdict(list))
+        # keypoints, appended in lockstep with _dets/_gts (kp task only)
+        self._det_kps = defaultdict(lambda: defaultdict(list))
+        self._gt_kps = defaultdict(lambda: defaultdict(list))
         self._images = set()
 
-    def process(self, image_id, boxes, scores, classes, masks=None, image_hw=None):
+    def process(self, image_id, boxes, scores, classes, masks=None, image_hw=None,
+                keypoints=None):
         """`masks`: optional (N, M, M) box-space probabilities; pasted to
-        `image_hw` and RLE-encoded when the segm task is on."""
+        `image_hw` and RLE-encoded when the segm task is on. `keypoints`:
+        optional (N, K, 3) decoded (x, y, score) keypoints."""
         self._images.add(image_id)
         rles = [None] * len(boxes)
         if masks is not None and "segm" in self.tasks:
@@ -148,12 +200,20 @@ class COCOEvaluator:
 
             pasted = paste_masks_np(np.asarray(masks), np.asarray(boxes), image_hw)
             rles = [rle_encode(m) for m in pasted]
-        for b, s, c, r in zip(boxes, scores, classes, rles):
+        if keypoints is None:
+            keypoints = [None] * len(boxes)
+        for b, s, c, r, kp in zip(boxes, scores, classes, rles, keypoints):
             self._dets[int(c)][image_id].append((float(s), np.asarray(b, np.float64), r))
+            if "keypoints" in self.tasks:
+                self._det_kps[int(c)][image_id].append(
+                    np.asarray(kp, np.float64) if kp is not None else None
+                )
 
-    def process_gt(self, image_id, boxes, classes, iscrowd=None, segmentations=None, image_hw=None):
+    def process_gt(self, image_id, boxes, classes, iscrowd=None, segmentations=None, image_hw=None,
+                   keypoints=None):
         """`segmentations`: optional per-instance polygon lists (original
-        image coords) rasterized at `image_hw` for the segm task."""
+        image coords) rasterized at `image_hw` for the segm task.
+        `keypoints`: optional (N, K, 3) (x, y, vis) GT keypoints."""
         self._images.add(image_id)
         if iscrowd is None:
             iscrowd = np.zeros(len(boxes), bool)
@@ -163,8 +223,14 @@ class COCOEvaluator:
             from .masks import segmentation_to_rle
 
             rles = [segmentation_to_rle(segs, image_hw) for segs in segmentations]
-        for b, c, cr, r in zip(boxes, classes, iscrowd, rles):
+        if keypoints is None:
+            keypoints = [None] * len(boxes)
+        for b, c, cr, r, kp in zip(boxes, classes, iscrowd, rles, keypoints):
             self._gts[int(c)][image_id].append((np.asarray(b, np.float64), bool(cr), r))
+            if "keypoints" in self.tasks:
+                self._gt_kps[int(c)][image_id].append(
+                    np.asarray(kp, np.float64) if kp is not None else None
+                )
 
     def evaluate(self) -> Dict[str, Dict[str, float]]:
         out = {}
@@ -200,14 +266,15 @@ class COCOEvaluator:
             json.dump(records, f)
 
     def _evaluate_task(self, task: str) -> Dict[str, float]:
-        ap_per_class = {area: [] for area in AREA_RANGES}
+        ranges = KP_AREA_RANGES if task == "keypoints" else AREA_RANGES
+        ap_per_class = {area: [] for area in ranges}
         ap50, ap75 = [], []
         named = {}  # per-category AP (reference COCOEvaluator "AP-{cat}")
         for c in range(self.num_classes):
             has_gt = any(len(v) for v in self._gts.get(c, {}).values())
             if not has_gt:
                 continue
-            for area, (lo, hi) in AREA_RANGES.items():
+            for area, (lo, hi) in ranges.items():
                 precisions = self._class_pr(c, lo, hi, task)  # (T, 101)
                 if precisions is None:
                     ap = np.nan
@@ -224,7 +291,7 @@ class COCOEvaluator:
             "AP": 100 * float(np.nanmean(ap_per_class["all"])) if ap_per_class["all"] else float("nan"),
             "AP50": 100 * float(np.mean(ap50)) if ap50 else float("nan"),
             "AP75": 100 * float(np.mean(ap75)) if ap75 else float("nan"),
-            "APs": 100 * float(np.nanmean(ap_per_class["small"])) if ap_per_class["small"] else float("nan"),
+            "APs": 100 * float(np.nanmean(ap_per_class["small"])) if ap_per_class.get("small") else float("nan"),
             "APm": 100 * float(np.nanmean(ap_per_class["medium"])) if ap_per_class["medium"] else float("nan"),
             "APl": 100 * float(np.nanmean(ap_per_class["large"])) if ap_per_class["large"] else float("nan"),
             **named,
@@ -247,6 +314,15 @@ class COCOEvaluator:
             else:
                 areas = (gts[:, 2] - gts[:, 0]) * (gts[:, 3] - gts[:, 1]) if len(gts) else np.zeros(0)
             gt_ignore = iscrowd | (areas < area_lo) | (areas > area_hi)
+            if task == "keypoints":
+                # pycocotools _prepare: gts without labeled keypoints are
+                # ignored for the keypoints task
+                gkps = self._gt_kps.get(c, {}).get(img, [])
+                n_lab = np.array(
+                    [int((k[:, 2] > 0).sum()) if k is not None else 0 for k in gkps]
+                ).reshape(-1)
+                if len(n_lab) == len(gt_ignore):
+                    gt_ignore = gt_ignore | (n_lab == 0)
             npos += int((~gt_ignore).sum())
             det_list = det_imgs.get(img, [])
             if not det_list:
@@ -262,6 +338,14 @@ class COCOEvaluator:
                 if any(r is None for r in det_rles + gt_rles):
                     continue  # segm task without masks: skip image
                 ious = mask_iou_matrix(det_rles, gt_rles, iscrowd)
+            elif task == "keypoints":
+                dkps = self._det_kps.get(c, {}).get(img, [])
+                gkps = self._gt_kps.get(c, {}).get(img, [])
+                if any(k is None for k in dkps) or any(k is None for k in gkps):
+                    continue  # keypoints task without keypoints: skip image
+                ious = _oks_matrix(
+                    np.stack(dkps), np.stack(gkps), gts, self.kpt_oks_sigmas
+                )
             scores, tp, ign = _eval_image(
                 det_boxes, det_scores, gts, gt_ignore, iscrowd, IOU_THRESHOLDS, ious=ious
             )

@@ -39,14 +39,18 @@ def inference_on_dataset(
         classes = np.asarray(det.classes)
         valid = np.asarray(det.valid)
         masks = np.asarray(det.masks) if det.masks is not None else None
+        det_kps = np.asarray(det.keypoints) if getattr(det, "keypoints", None) is not None else None
         total_compute += time.time() - t0
 
         t1 = time.time()
         segm = masks is not None and "segm" in getattr(evaluator, "tasks", ())
+        kp_task = det_kps is not None and "keypoints" in getattr(evaluator, "tasks", ())
         for i, meta in enumerate(metas):
             keep = valid[i]
             hw = (meta.get("height"), meta.get("width")) if segm else None
             kwargs = {"masks": masks[i][keep], "image_hw": hw} if segm else {}
+            if kp_task:
+                kwargs["keypoints"] = det_kps[i][keep]
             evaluator.process(
                 meta["image_id"], boxes[i][keep], scores[i][keep], classes[i][keep], **kwargs
             )
@@ -60,6 +64,13 @@ def inference_on_dataset(
                         "segmentations": [a.get("segmentation") for a in meta["annotations"]],
                         "image_hw": hw,
                     }
+                if kp_task:
+                    gt_kwargs["keypoints"] = [
+                        np.asarray(a["keypoints"], np.float64).reshape(-1, 3)
+                        if a.get("keypoints") is not None
+                        else None
+                        for a in meta["annotations"]
+                    ]
                 if "neg_category_ids" in meta and getattr(evaluator, "accepts_lvis_ignore", False):
                     # LVIS per-image exhaustiveness (only evaluators that
                     # declare support — COCOEvaluator.process_gt would TypeError)

@@ -83,6 +83,9 @@ def build_generalized_rcnn(cfg) -> GeneralizedRCNN:
         mask_conv_dim=cfg.MODEL.ROI_MASK_HEAD.CONV_DIM,
         mask_cls_agnostic=cfg.MODEL.ROI_MASK_HEAD.CLS_AGNOSTIC_MASK,
         mask_canvas_stride=float(cfg.TPU.MASK_CANVAS_STRIDE),
+        keypoint_on=cfg.MODEL.KEYPOINT_ON,
+        num_keypoints=cfg.MODEL.ROI_KEYPOINT_HEAD.NUM_KEYPOINTS,
+        keypoint_conv_dims=tuple(cfg.MODEL.ROI_KEYPOINT_HEAD.CONV_DIMS),
         no_box_delta=cfg.MODEL.CLIP.NO_BOX_DELTA,
         multiply_rpn_score=cfg.MODEL.CLIP.MULTIPLY_RPN_SCORE,
         soft_nms_enabled=cfg.MODEL.ROI_HEADS.SOFT_NMS_ENABLED,

@@ -133,6 +133,9 @@ class DetectionResult(NamedTuple):
     # (D, M, M) box-space mask probabilities (MASK_ON eval only); pasted to
     # image space by the evaluator/postprocess on host
     masks: Optional[jnp.ndarray] = None
+    # (D, K, 3) decoded (x, y, score) keypoints (KEYPOINT_ON eval only;
+    # reference structures/keypoints.py heatmaps_to_keypoints)
+    keypoints: Optional[jnp.ndarray] = None
 
 
 def fast_rcnn_inference_single_image(

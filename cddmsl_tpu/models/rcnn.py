@@ -55,6 +55,9 @@ class DetBatch(NamedTuple):
     image_trgt: Optional[jnp.ndarray] = None  # (B, H, W, 3) translated twin
     # (B, G, H/ms, W/ms) {0,1} GT bitmasks at TPU.MASK_CANVAS_STRIDE (MASK_ON)
     gt_masks: Optional[jnp.ndarray] = None
+    # (B, G, K, 3) (x, y, vis) GT keypoints in canvas coords (KEYPOINT_ON;
+    # reference structures/keypoints.py Keypoints)
+    gt_keypoints: Optional[jnp.ndarray] = None
 
 
 def infonce_bidirectional(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
@@ -113,6 +116,10 @@ class GeneralizedRCNN(nn.Module):
     mask_conv_dim: int = 256
     mask_cls_agnostic: bool = False
     mask_canvas_stride: float = 4.0
+    # keypoint branch (MODEL.KEYPOINT_ON; reference roi_heads keypoint path)
+    keypoint_on: bool = False
+    num_keypoints: int = 17
+    keypoint_conv_dims: Sequence[int] = (512,) * 8
     # inference options (reference fast_rcnn.py:466-527)
     no_box_delta: bool = False
     multiply_rpn_score: bool = False
@@ -197,6 +204,9 @@ class GeneralizedRCNN(nn.Module):
             mask_conv_dim=self.mask_conv_dim,
             mask_cls_agnostic=self.mask_cls_agnostic,
             mask_canvas_stride=self.mask_canvas_stride,
+            keypoint_on=self.keypoint_on,
+            num_keypoints=self.num_keypoints,
+            keypoint_conv_dims=tuple(self.keypoint_conv_dims),
             no_box_delta=self.no_box_delta,
             multiply_rpn_score=self.multiply_rpn_score,
             soft_nms_enabled=self.soft_nms_enabled,
@@ -265,7 +275,8 @@ class GeneralizedRCNN(nn.Module):
             res5_fn=self.backbone.res5_forward,
             attnpool_fn=self.backbone.attnpool_forward if self.use_text_emb else None,
             gt_boxes=batch.gt_boxes, gt_classes=batch.gt_classes,
-            gt_valid=batch.gt_valid, gt_masks=batch.gt_masks, rng=k2,
+            gt_valid=batch.gt_valid, gt_masks=batch.gt_masks,
+            gt_keypoints=batch.gt_keypoints, rng=k2,
         )
         return {**det_losses, **rpn_losses}
 
@@ -286,6 +297,15 @@ class GeneralizedRCNN(nn.Module):
             boxes = detections.boxes * sxy[:, None, :]
             boxes = jax.vmap(lambda bx, hw: box_ops.clip(bx, (hw[0], hw[1])))(boxes, batch.orig_sizes)
             detections = detections._replace(boxes=boxes)
+            if detections.keypoints is not None:
+                # rescale decoded keypoint coords with the boxes (reference
+                # detector_postprocess keypoint branch)
+                kxy = detections.keypoints[..., :2] * jnp.stack(
+                    [scale[:, 1], scale[:, 0]], axis=-1
+                )[:, None, None, :]
+                detections = detections._replace(
+                    keypoints=jnp.concatenate([kxy, detections.keypoints[..., 2:]], axis=-1)
+                )
         return detections
 
     def _student_v2l(self, images224: jnp.ndarray) -> jnp.ndarray:
@@ -424,7 +444,8 @@ class GeneralizedRCNN(nn.Module):
             res5_fn=self.backbone.res5_forward,
             attnpool_fn=self.backbone.attnpool_forward if self.use_text_emb else None,
             gt_boxes=batch.gt_boxes, gt_classes=batch.gt_classes,
-            gt_valid=batch.gt_valid, gt_masks=batch.gt_masks, rng=k_roi,
+            gt_valid=batch.gt_valid, gt_masks=batch.gt_masks,
+            gt_keypoints=batch.gt_keypoints, rng=k_roi,
         )
         losses = {**det_losses, **rpn_losses}
         if not enable_caption:

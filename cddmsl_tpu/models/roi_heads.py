@@ -32,6 +32,7 @@ from .fast_rcnn import (
     fast_rcnn_inference_single_image,
     fast_rcnn_losses,
 )
+from .keypoint_head import KeypointROIHeads
 from .mask_head import MaskRCNNConvUpsampleHead, crop_mask_targets, mask_rcnn_inference, mask_rcnn_loss
 from .matcher import Matcher
 from .rpn import Proposals
@@ -69,6 +70,11 @@ class CLIPRes5ROIHeads(nn.Module):
     mask_conv_dim: int = 256
     mask_cls_agnostic: bool = False
     mask_canvas_stride: float = 4.0
+    # keypoint branch (reference StandardROIHeads _forward_keypoint +
+    # keypoint_head.py; enabled by MODEL.KEYPOINT_ON)
+    keypoint_on: bool = False
+    num_keypoints: int = 17
+    keypoint_conv_dims: Sequence[int] = (512,) * 8
     # inference options (reference fast_rcnn.py:466-527, plumbed from
     # MODEL.CLIP.* / MODEL.ROI_HEADS.SOFT_NMS_*)
     no_box_delta: bool = False
@@ -96,6 +102,14 @@ class CLIPRes5ROIHeads(nn.Module):
                 num_conv=self.mask_num_conv,
                 conv_dim=self.mask_conv_dim,
                 cls_agnostic=self.mask_cls_agnostic,
+                dtype=self.dtype,
+            )
+        if self.keypoint_on:
+            self.keypoint_branch = KeypointROIHeads(
+                num_keypoints=self.num_keypoints,
+                pooler_resolution=self.pooler_resolution,
+                pooler_scale=self.pooler_scale,
+                conv_dims=tuple(self.keypoint_conv_dims),
                 dtype=self.dtype,
             )
 
@@ -193,6 +207,7 @@ class CLIPRes5ROIHeads(nn.Module):
         gt_classes: Optional[jnp.ndarray] = None,
         gt_valid: Optional[jnp.ndarray] = None,
         gt_masks: Optional[jnp.ndarray] = None,
+        gt_keypoints: Optional[jnp.ndarray] = None,
         rng: Optional[jax.Array] = None,
     ):
         b = features.shape[0]
@@ -234,6 +249,15 @@ class CLIPRes5ROIHeads(nn.Module):
                 losses["loss_mask"] = mask_rcnn_loss(
                     mask_logits, targets.reshape(b * s, m, m), flat_classes, fg
                 )
+            if self.keypoint_on:
+                assert gt_keypoints is not None, "KEYPOINT_ON training needs batch.gt_keypoints"
+                # matched GT keypoints per sampled box (reference
+                # roi_heads.py _forward_keypoint trains on fg proposals; here
+                # all S are pooled and the loss is masked to fg — identical
+                # value, static shapes)
+                kp = jax.vmap(lambda g, mi: g[mi])(gt_keypoints, matched_idx)  # (B,S,K,3)
+                fg2d = valid & (classes >= 0) & (classes < self.num_classes)
+                losses.update(self.keypoint_branch.losses(features, boxes, fg2d, kp))
             return None, losses
 
         region_feats = self._region_embed(features, proposals.boxes, res5_fn, attnpool_fn)
@@ -275,6 +299,11 @@ class CLIPRes5ROIHeads(nn.Module):
             m = mask_logits.shape[1]
             probs = mask_rcnn_inference(mask_logits, detections.classes.reshape(b * d))
             detections = detections._replace(masks=probs.reshape(b, d, m, m))
+        if self.keypoint_on:
+            # decode keypoints on the FINAL boxes (reference
+            # forward_with_given_boxes -> heatmaps_to_keypoints)
+            kps = self.keypoint_branch.inference(features, detections.boxes)
+            detections = detections._replace(keypoints=kps)
         return detections, {}
 
     def _region_embed(self, features, boxes, res5_fn, attnpool_fn) -> jnp.ndarray:
