@@ -73,6 +73,16 @@ class CfgNode(dict):
 
     def merge_from_file(self, cfg_filename: str, allow_unsafe: bool = True) -> None:
         loaded = _load_yaml_with_base(cfg_filename)
+        # version migration (reference config.py merge_from_file: guess the
+        # file's version and upgrade old-version keys before merging)
+        from .compat import _LATEST, guess_version, upgrade_config
+
+        target_ver = self.get("VERSION", _LATEST)
+        loaded_ver = guess_version(loaded, cfg_filename)
+        if loaded_ver < target_ver:
+            loaded = CfgNode(loaded)
+            loaded["VERSION"] = loaded_ver
+            loaded = upgrade_config(loaded, to_version=target_ver)
         _merge_a_into_b(loaded, self)
 
     def merge_from_list(self, cfg_list: List[str]) -> None:

@@ -153,6 +153,15 @@ def get_default_cfg() -> CfgNode:
     _C.MODEL.ROI_MASK_HEAD.CLS_AGNOSTIC_MASK = False
     _C.MODEL.ROI_MASK_HEAD.POOLER_TYPE = "ROIAlignV2"
 
+    # ------------- MODEL.ROI_BOX_CASCADE_HEAD (reference defaults.py:451-459) -------------
+    _C.MODEL.ROI_BOX_CASCADE_HEAD = CfgNode()
+    _C.MODEL.ROI_BOX_CASCADE_HEAD.IOUS = [0.5, 0.6, 0.7]
+    _C.MODEL.ROI_BOX_CASCADE_HEAD.BBOX_REG_WEIGHTS = [
+        [10.0, 10.0, 5.0, 5.0],
+        [20.0, 20.0, 10.0, 10.0],
+        [30.0, 30.0, 15.0, 15.0],
+    ]
+
     # ------------- MODEL.ROI_KEYPOINT_HEAD (reference defaults.py:471-484) -------------
     _C.MODEL.ROI_KEYPOINT_HEAD = CfgNode()
     _C.MODEL.ROI_KEYPOINT_HEAD.NAME = "KRCNNConvDeconvUpsampleHead"

@@ -5,6 +5,8 @@ from .build import (
     build_semisup_train_loader_two_crops,
     divide_label_unlabel,
     get_detection_dataset_dicts,
+    build_lazy_test_loader,
+    build_lazy_train_loader,
     pad_and_collate,
 )
 from .dataset_mapper import DatasetMapper, DatasetMapperTwoCropSeparate, read_image
@@ -18,6 +20,8 @@ __all__ = [
     "build_semisup_train_loader_two_crops",
     "divide_label_unlabel",
     "get_detection_dataset_dicts",
+    "build_lazy_test_loader",
+    "build_lazy_train_loader",
     "pad_and_collate",
     "DatasetMapper",
     "DatasetMapperTwoCropSeparate",

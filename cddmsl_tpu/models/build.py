@@ -206,10 +206,59 @@ def build_model(cfg):
         "PretrainFastRCNN": build_pretrain_fast_rcnn,
         "PanopticFPN": build_panoptic_fpn,
         "RotatedFastRCNN": build_rotated_fast_rcnn,
+        "CascadeRCNN": build_cascade_rcnn,
+        "SemanticSegmentor": build_semantic_segmentor,
+        "ProposalNetwork": build_proposal_network,
     }.get(name)
+    # the reference reaches cascade via ROI_HEADS.NAME inside GeneralizedRCNN
+    if name == "GeneralizedRCNN" and cfg.MODEL.ROI_HEADS.NAME == "CascadeROIHeads":
+        builder = build_cascade_rcnn
     if builder is None:
         if name in META_ARCH_REGISTRY:
             builder = META_ARCH_REGISTRY.get(name)
         else:
             raise KeyError(f"Unknown META_ARCHITECTURE: {name}")
     return builder(cfg)
+
+
+@META_ARCH_REGISTRY.register()
+def build_cascade_rcnn(cfg):
+    from .cascade_rcnn import CascadeRCNN
+
+    depth = cfg.MODEL.RESNETS.DEPTH
+    return CascadeRCNN(
+        num_classes=cfg.MODEL.ROI_HEADS.NUM_CLASSES,
+        depth=depth,
+        in_channels=256 if depth in (18, 34) else 1024,
+        stage_ious=tuple(cfg.MODEL.ROI_BOX_CASCADE_HEAD.IOUS)
+        if "ROI_BOX_CASCADE_HEAD" in cfg.MODEL
+        else (0.5, 0.6, 0.7),
+        pixel_mean=tuple(cfg.MODEL.PIXEL_MEAN),
+        pixel_std=tuple(cfg.MODEL.PIXEL_STD),
+        dtype=_dtype(cfg),
+    )
+
+
+@META_ARCH_REGISTRY.register()
+def build_semantic_segmentor(cfg):
+    from .extra_meta_archs import SemanticSegmentor
+
+    return SemanticSegmentor(
+        num_classes=cfg.MODEL.SEM_SEG_HEAD.NUM_CLASSES,
+        ignore_value=cfg.MODEL.SEM_SEG_HEAD.IGNORE_VALUE,
+        pixel_mean=tuple(cfg.MODEL.PIXEL_MEAN),
+        pixel_std=tuple(cfg.MODEL.PIXEL_STD),
+        dtype=_dtype(cfg),
+    )
+
+
+@META_ARCH_REGISTRY.register()
+def build_proposal_network(cfg):
+    from .extra_meta_archs import ProposalNetwork
+
+    return ProposalNetwork(
+        depth=cfg.MODEL.RESNETS.DEPTH,
+        pixel_mean=tuple(cfg.MODEL.PIXEL_MEAN),
+        pixel_std=tuple(cfg.MODEL.PIXEL_STD),
+        dtype=_dtype(cfg),
+    )

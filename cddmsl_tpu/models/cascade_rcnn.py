@@ -22,7 +22,7 @@ from ..ops.roi_align import roi_align
 from ..structures import boxes as box_ops
 from .fast_rcnn import DetectionResult, fast_rcnn_inference_single_image
 from .matcher import Matcher
-from .rpn import Proposals, smooth_l1
+from .rpn import RPN, Proposals, smooth_l1
 from .sampling import gather_selected, subsample_labels
 
 
@@ -172,3 +172,59 @@ class CascadeROIHeads(nn.Module):
             )
 
         return jax.vmap(per_image)(mean_logits, deltas, boxes, valid, image_sizes), {}
+
+
+class CascadeRCNN(nn.Module):
+    """Cascade R-CNN meta-arch assembly (the reference reaches cascade via
+    GeneralizedRCNN + ROI_HEADS.NAME='CascadeROIHeads', configs/
+    Misc/cascade_*; here an explicit backbone + RPN + CascadeROIHeads
+    module so it is config-constructible)."""
+
+    num_classes: int = 80
+    depth: int = 50
+    in_channels: int = 1024  # res4 width (256 for basic-block depths 18/34)
+    stage_ious: Sequence[float] = (0.5, 0.6, 0.7)
+    pixel_mean: Sequence[float] = (103.53, 116.28, 123.675)
+    pixel_std: Sequence[float] = (1.0, 1.0, 1.0)
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        from .backbone.resnet import D2ResNet
+
+        self.backbone = D2ResNet(depth=self.depth, out_features=("res4",), dtype=self.dtype)
+        ch = self.in_channels
+        self.proposal_generator = RPN(in_channels=ch, stride=16, dtype=self.dtype)
+        self.roi_heads = CascadeROIHeads(
+            num_classes=self.num_classes, in_channels=ch,
+            stage_ious=tuple(self.stage_ious), dtype=self.dtype,
+        )
+
+    def _norm(self, images):
+        mean = jnp.asarray(self.pixel_mean, jnp.float32)
+        std = jnp.asarray(self.pixel_std, jnp.float32)
+        return ((images - mean) / std).astype(self.dtype)
+
+    def losses(self, batch, rng: jax.Array):
+        f = self.backbone(self._norm(batch.image))["res4"]
+        k1, k2 = jax.random.split(rng)
+        proposals, rpn_losses = self.proposal_generator(
+            f, batch.image_sizes, training=True,
+            gt_boxes=batch.gt_boxes, gt_valid=batch.gt_valid, rng=k1,
+        )
+        _, det_losses = self.roi_heads(
+            f, proposals, batch.image_sizes, training=True,
+            gt_boxes=batch.gt_boxes, gt_classes=batch.gt_classes,
+            gt_valid=batch.gt_valid, rng=k2,
+        )
+        return {**det_losses, **rpn_losses}
+
+    def inference(self, batch):
+        f = self.backbone(self._norm(batch.image))["res4"]
+        proposals, _ = self.proposal_generator(f, batch.image_sizes, training=False)
+        det, _ = self.roi_heads(f, proposals, batch.image_sizes, training=False)
+        return det
+
+    def __call__(self, batch, rng: jax.Array):
+        return self.losses(batch, rng)
+
+    init_all = __call__

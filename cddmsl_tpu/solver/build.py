@@ -127,3 +127,58 @@ def build_optimizer(cfg, params) -> optax.GradientTransformation:
         chain.append(optax.trace(decay=cfg.SOLVER.MOMENTUM, nesterov=cfg.SOLVER.NESTEROV))
     chain.append(optax.scale_by_learning_rate(schedule))
     return optax.chain(*chain)
+
+
+# ---------------- LazyConfig-friendly builders ----------------
+def multistep_schedule(
+    base_lr: float = 0.02,
+    milestones: Sequence[int] = (60000, 80000),
+    gamma: float = 0.1,
+    warmup_iters: int = 1000,
+    warmup_factor: float = 0.001,
+) -> Callable[[jnp.ndarray], jnp.ndarray]:
+    """Explicit-args WarmupMultiStepLR (the LazyConfig equivalent of the
+    reference configs/common/coco_schedule.py default_X_scheduler)."""
+
+    def schedule(step):
+        step = jnp.asarray(step, jnp.float32)
+        alpha = step / max(warmup_iters, 1)
+        wf = jnp.where(step < warmup_iters, warmup_factor * (1 - alpha) + alpha, 1.0)
+        ms = jnp.asarray(milestones, jnp.float32) if len(milestones) else jnp.zeros((0,))
+        decay = gamma ** jnp.sum(step >= ms) if len(milestones) else 1.0
+        return base_lr * wf * decay
+
+    return schedule
+
+
+def default_X_scheduler(num_X: float, base_lr: float = 0.02):
+    """reference configs/common/coco_schedule.py:default_X_scheduler — the
+    '1x/3x' COCO recipes (90k iters per 1x at batch 16)."""
+    total = int(num_X * 90000)
+    if num_X <= 2:
+        milestones = (60000, 80000)
+    else:
+        milestones = (total - 60000, total - 20000)
+    return multistep_schedule(base_lr=base_lr, milestones=milestones, warmup_iters=1000)
+
+
+def sgd(
+    lr: Any = 0.02,
+    momentum: float = 0.9,
+    weight_decay: float = 1e-4,
+    clip_norm: Any = None,
+) -> optax.GradientTransformation:
+    """Explicit-args SGD chain (the LazyConfig equivalent of the reference
+    configs/common/optim.py SGD). `lr` may be a float or a schedule callable.
+    No frozen-path masking — lazy recipes own their freezing explicitly."""
+    chain = []
+    if clip_norm:
+        chain.append(optax.clip_by_global_norm(float(clip_norm)))
+    if weight_decay:
+        chain.append(optax.add_decayed_weights(weight_decay))
+    chain.append(optax.trace(decay=momentum, nesterov=False))
+    if callable(lr):
+        chain.append(optax.scale_by_schedule(lambda step: -lr(step)))
+    else:
+        chain.append(optax.scale(-float(lr)))
+    return optax.chain(*chain)
