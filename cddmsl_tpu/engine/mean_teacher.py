@@ -291,3 +291,12 @@ class MeanTeacherTrainer(DefaultTrainer):
         self.checkpointer.save("model_final", self.mt_state)
         for w in writers:
             w.close()
+        if not cfg.DATASETS.TEST:
+            return {}
+        # final TEACHER eval (the reference reports the EMA teacher) +
+        # golden verification (reference defaults.py:497-501)
+        results = self.test(
+            cfg, self.mt_state.replace(params=self.mt_state.teacher_params)
+        )
+        self._verify_final(results)
+        return results

@@ -23,6 +23,20 @@ def _group_rank(key_vals: jnp.ndarray, member: jnp.ndarray) -> jnp.ndarray:
     return ranks
 
 
+def _select_k_smallest(keys_masked: jnp.ndarray, quota_cap: int, count: jnp.ndarray) -> jnp.ndarray:
+    """Members whose key ranks among the `count` smallest (count <= quota_cap
+    traced; non-members carry +inf keys). top_k over the negated keys is a
+    PARTIAL sort — O(n log k) vs the full argsort's O(n log n); for RPN
+    sampling (n = 63k anchors, k = 256) this is the difference between a
+    full-array sort and a cheap selection (docs/PERF.md round 3)."""
+    k = min(quota_cap, keys_masked.shape[0])
+    if k == 0:
+        return jnp.zeros(keys_masked.shape, bool)
+    smallest = -jax.lax.top_k(-keys_masked, k)[0]  # ascending k smallest
+    thr = smallest[jnp.clip(count - 1, 0, k - 1)]
+    return (keys_masked <= thr) & (count > 0)
+
+
 def subsample_labels(
     key: jax.Array,
     positive: jnp.ndarray,
@@ -31,23 +45,22 @@ def subsample_labels(
     positive_fraction: float,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Choose <=num_samples elements: up to num_samples*positive_fraction
-    random positives, remainder random negatives.
+    random positives, remainder random negatives (uniform random subset of
+    each group, distributionally identical to the reference's randperm).
 
     Returns (pos_selected, neg_selected) boolean masks.
     """
     k1, k2 = jax.random.split(key)
     n = positive.shape[0]
-    rnd_pos = jax.random.uniform(k1, (n,))
-    rnd_neg = jax.random.uniform(k2, (n,))
+    rnd_pos = jnp.where(positive, jax.random.uniform(k1, (n,)), jnp.inf)
+    rnd_neg = jnp.where(negative, jax.random.uniform(k2, (n,)), jnp.inf)
 
     num_pos_target = int(num_samples * positive_fraction)
     num_pos = jnp.minimum(jnp.sum(positive.astype(jnp.int32)), num_pos_target)
-    pos_rank = _group_rank(rnd_pos, positive)
-    pos_sel = positive & (pos_rank < num_pos)
+    pos_sel = positive & _select_k_smallest(rnd_pos, num_pos_target, num_pos)
 
     num_neg = jnp.minimum(jnp.sum(negative.astype(jnp.int32)), num_samples - num_pos)
-    neg_rank = _group_rank(rnd_neg, negative)
-    neg_sel = negative & (neg_rank < num_neg)
+    neg_sel = negative & _select_k_smallest(rnd_neg, num_samples, num_neg)
     return pos_sel, neg_sel
 
 

@@ -216,3 +216,56 @@ def test_anchor_grid_layout():
     np.testing.assert_allclose((g[0, :2] + g[0, 2:]) / 2, [0, 0], atol=1e-5)
     np.testing.assert_allclose((g[1, :2] + g[1, 2:]) / 2, [16, 0], atol=1e-5)
     np.testing.assert_allclose((g[3, :2] + g[3, 2:]) / 2, [0, 16], atol=1e-5)
+
+
+# ---------------- balanced sampling ----------------
+def test_subsample_labels_quota_semantics(rng):
+    """Exact-count semantics of the reference subsample_labels
+    (detectron2/modeling/sampling.py:54): up to num*frac positives, the
+    remainder negatives, never exceeding group sizes."""
+    import jax
+
+    from cddmsl_tpu.models.sampling import subsample_labels
+
+    n = 2000
+    pos_np = rng.rand(n) < 0.01  # ~20 positives
+    pos = jnp.asarray(pos_np)
+    neg = jnp.asarray(~pos_np & (rng.rand(n) > 0.3))
+    ps, ns = subsample_labels(jax.random.PRNGKey(0), pos, neg, 256, 0.5)
+    n_pos = int(jnp.sum(ps))
+    n_neg = int(jnp.sum(ns))
+    assert n_pos == min(int(jnp.sum(pos)), 128)
+    assert n_neg == 256 - n_pos  # negatives are plentiful
+    assert bool(jnp.all(~ps | pos)) and bool(jnp.all(~ns | neg))
+    assert not bool(jnp.any(ps & ns))
+
+    # quota exceeds availability: take everything
+    few_neg = jnp.asarray(rng.rand(n) < 0.02)
+    ps2, ns2 = subsample_labels(jax.random.PRNGKey(1), pos, few_neg, 256, 0.5)
+    assert int(jnp.sum(ns2)) == int(jnp.sum(few_neg))
+
+    # empty groups
+    none = jnp.zeros((n,), bool)
+    ps3, ns3 = subsample_labels(jax.random.PRNGKey(2), none, none, 256, 0.5)
+    assert int(jnp.sum(ps3)) == 0 and int(jnp.sum(ns3)) == 0
+
+
+def test_subsample_labels_uniformity(rng):
+    """Each member is selected (approximately) uniformly at random."""
+    import jax
+
+    from cddmsl_tpu.models.sampling import subsample_labels
+
+    n = 64
+    member = jnp.ones((n,), bool)
+    counts = np.zeros(n)
+    trials = 300
+    f = jax.jit(lambda k: subsample_labels(k, member, jnp.zeros((n,), bool), 16, 1.0))
+    for t in range(trials):
+        ps, _ = f(jax.random.PRNGKey(t))
+        assert int(jnp.sum(ps)) == 16
+        counts += np.asarray(ps)
+    # expected rate 16/64 = 0.25; loose 5-sigma band
+    p = counts / trials
+    sigma = np.sqrt(0.25 * 0.75 / trials)
+    assert (np.abs(p - 0.25) < 5 * sigma).all()

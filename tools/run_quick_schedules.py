@@ -37,20 +37,40 @@ CONFIG_DIR = os.path.join(os.path.dirname(__file__), "..", "configs", "quick_sch
 
 def run_one(config_file: str, fixture_root: str) -> bool:
     from cddmsl_tpu.config import add_ateacher_config, get_cfg
-    from cddmsl_tpu.data.datasets.synthetic import register_synthetic_quick
+    from cddmsl_tpu.data.datasets.synthetic import (
+        register_synthetic_coco,
+        register_synthetic_quick,
+    )
     from cddmsl_tpu.engine.defaults import DefaultTrainer
     from cddmsl_tpu.evaluation import verify_results
 
     register_synthetic_quick(fixture_root)
+    register_synthetic_coco(fixture_root)
 
     cfg = get_cfg()
     add_ateacher_config(cfg)
     cfg.merge_from_file(config_file)
     cfg.OUTPUT_DIR = os.path.join(fixture_root, "out", os.path.basename(config_file))
+    if cfg.MODEL.WEIGHTS.startswith("quick_schedules://"):
+        # sentinel: a checkpoint produced by an earlier quick_schedules run
+        # this invocation (the reference's inference_acc tests load model-zoo
+        # checkpoints; this harness has no zoo, so inference goldens load the
+        # training golden's overfit model_final)
+        cfg.MODEL.WEIGHTS = os.path.join(
+            fixture_root, "out", cfg.MODEL.WEIGHTS[len("quick_schedules://"):]
+        )
+        assert os.path.exists(cfg.MODEL.WEIGHTS), (
+            f"{cfg.MODEL.WEIGHTS} missing — run the producing config first"
+        )
     cfg.freeze()
     os.makedirs(cfg.OUTPUT_DIR, exist_ok=True)
 
-    trainer = DefaultTrainer(cfg)
+    if "SEMISUPNET" in cfg and cfg.SEMISUPNET.Trainer == "ateacher" and cfg.SOLVER.MAX_ITER > 0:
+        from cddmsl_tpu.engine.mean_teacher import MeanTeacherTrainer
+
+        trainer = MeanTeacherTrainer(cfg)
+    else:
+        trainer = DefaultTrainer(cfg)
     trainer.resume_or_load(resume=False)
     if cfg.SOLVER.MAX_ITER > 0:
         results = trainer.train()  # ends with a final test (+ internal verify)
@@ -67,7 +87,10 @@ def run_one(config_file: str, fixture_root: str) -> bool:
 
 def main():
     name_filter = sys.argv[1] if len(sys.argv) > 1 else ""
-    configs = sorted(glob.glob(os.path.join(CONFIG_DIR, "*.yaml")))
+    # producers before consumers: smoke tests, then training goldens (which
+    # write model_final), then inference goldens (which load it)
+    rank = lambda p: (0 if "instant" in p else 1 if "training" in p else 2, p)
+    configs = sorted(glob.glob(os.path.join(CONFIG_DIR, "*.yaml")), key=rank)
     configs = [c for c in configs if name_filter in os.path.basename(c)]
     if not configs:
         print(f"no quick_schedules configs matching {name_filter!r}")
