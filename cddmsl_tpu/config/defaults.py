@@ -304,6 +304,10 @@ def get_default_cfg() -> CfgNode:
     _C.TPU.PARAM_DTYPE = "float32"
     # static-shape capacities (pad-and-mask discipline; SURVEY.md §7 point 1)
     _C.TPU.MAX_GT_BOXES = 100
+    # RoIAlign processes ROIs in chunks of this size (ops/roi_align.py):
+    # bounds the (r, PW, H, C) matmul intermediate; larger chunks = fewer
+    # sequential lax.map iterations, more HBM (docs/PERF.md round 3)
+    _C.TPU.ROI_CHUNK_SIZE = 128
     _C.TPU.PAD_SIZE_TRAIN = [800, 1344]   # H, W after resize; multiple of 16
     _C.TPU.PAD_SIZE_TEST = [800, 1344]
     # optional pad-bucket LADDER: list of [H, W] (landscape); each image goes

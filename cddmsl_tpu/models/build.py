@@ -100,6 +100,7 @@ def build_generalized_rcnn(cfg) -> GeneralizedRCNN:
         v2l_mapper_tokens=cfg.TPU.V2L_MAPPER_TOKENS,
         backbone_remat=cfg.TPU.REMAT_BACKBONE,
         use_pallas_roi_align=cfg.TPU.PALLAS_ROI_ALIGN,
+        roi_chunk_size=cfg.TPU.ROI_CHUNK_SIZE,
         dtype=_dtype(cfg),
     )
 

@@ -138,6 +138,7 @@ class GeneralizedRCNN(nn.Module):
     v2l_mapper_tokens: int = 40
     backbone_remat: bool = False
     use_pallas_roi_align: bool = False
+    roi_chunk_size: int = 128
     dtype: Any = jnp.float32
 
     def setup(self):
@@ -199,6 +200,7 @@ class GeneralizedRCNN(nn.Module):
             nms_thresh_test=self.nms_thresh_test,
             detections_per_image=self.detections_per_image,
             use_pallas_roi_align=self.use_pallas_roi_align,
+            roi_chunk_size=self.roi_chunk_size,
             mask_on=self.mask_on,
             mask_num_conv=self.mask_num_conv,
             mask_conv_dim=self.mask_conv_dim,

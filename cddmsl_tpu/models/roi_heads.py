@@ -63,6 +63,7 @@ class CLIPRes5ROIHeads(nn.Module):
     detections_per_image: int = 100
     only_sample_fg: bool = False
     use_pallas_roi_align: bool = False  # experimental: ops/pallas kernel
+    roi_chunk_size: int = 128  # TPU.ROI_CHUNK_SIZE
     # mask branch (reference roi_heads.py:375-401,480-534: box and mask share
     # the pooled res5 features in C4 models)
     mask_on: bool = False
@@ -165,7 +166,8 @@ class CLIPRes5ROIHeads(nn.Module):
         )
 
     # ---------- pooling ----------
-    def pool(self, features: jnp.ndarray, boxes: jnp.ndarray) -> jnp.ndarray:
+    def pool(self, features: jnp.ndarray, boxes: jnp.ndarray,
+             chunk_size: Optional[int] = None) -> jnp.ndarray:
         """features (B,H,W,C), boxes (B,S,4) -> (B*S, P, P, C).
 
         NOT rematerialized (round-2 change): boxes arrive stop-gradient'd, so
@@ -185,6 +187,7 @@ class CLIPRes5ROIHeads(nn.Module):
             align = lambda fi, bi: roi_align(
                 fi, bi, (self.pooler_resolution, self.pooler_resolution),
                 self.pooler_scale, self.pooler_sampling_ratio, True,
+                chunk_size=chunk_size or self.roi_chunk_size,
             )
 
         def _pool(f, bx):
@@ -308,8 +311,11 @@ class CLIPRes5ROIHeads(nn.Module):
 
     def _region_embed(self, features, boxes, res5_fn, attnpool_fn) -> jnp.ndarray:
         """(B,H,W,C) x (B,S,4) -> (B*S, emb) region embeddings via
-        pool -> res5 -> attnpool (or mean-pool)."""
-        x = self.pool(features, boxes)
+        pool -> res5 -> attnpool (or mean-pool). Eval-only callers pool in
+        LARGER chunks: without a backward pass the (r, PW, H, C) matmul
+        intermediate is transient, so fewer sequential lax.map iterations
+        cost no extra live HBM (docs/PERF.md round 3)."""
+        x = self.pool(features, boxes, chunk_size=max(self.roi_chunk_size, 512))
         x = res5_fn(x)  # (B*S, P/2, P/2, 2048)
         if attnpool_fn is not None:
             return attnpool_fn(x)

@@ -69,7 +69,10 @@ def test_flagship_bf16_rn50_train_step_lowers_on_mesh():
     )
     with jax.sharding.set_mesh(mesh):
         lowered = step_fn.lower(state_in, batch_in, rng_in)
-    # staging succeeded at flagship shapes; sanity-check the module mentions
-    # the mesh's collective axis (grad psum / contrastive all-gather)
+    # staging succeeded at flagship shapes; sanity-check the module is an
+    # 8-partition SPMD program over the data mesh (the Shardy partitioner
+    # stages sharding annotations; explicit collectives appear only after
+    # compile-time SPMD partitioning)
     text = lowered.as_text()
-    assert "all-reduce" in text or "all-gather" in text, "no cross-device collectives staged"
+    assert "num_partitions = 8" in text, "not an 8-partition SPMD program"
+    assert "sdy.mesh" in text or "mhlo.sharding" in text, "no mesh/sharding annotations staged"
