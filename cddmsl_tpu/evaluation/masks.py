@@ -26,6 +26,26 @@ def paste_masks_np(
     H, W = int(image_hw[0]), int(image_hw[1])
     n, m, _ = masks.shape
     out = np.zeros((n, H, W), bool)
+    if n == 0:
+        return out
+    # native kernel (csrc/maskops.cpp): same math, but only the in-box pixel
+    # window per instance — the numpy mirror below evaluates the full grid
+    from ..csrc.build import load_native
+
+    native = load_native("maskops")
+    if native is not None:
+        import ctypes
+
+        buf = np.zeros((n, H, W), np.uint8)
+        native.paste_masks(
+            ctypes.c_longlong(n), ctypes.c_longlong(m),
+            ctypes.c_longlong(H), ctypes.c_longlong(W),
+            np.ascontiguousarray(masks, np.float32).ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            np.ascontiguousarray(boxes, np.float64).ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            ctypes.c_double(threshold),
+            buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        )
+        return buf.view(bool)
     ys_img = np.arange(H) + 0.5
     xs_img = np.arange(W) + 0.5
     for i in range(n):

@@ -200,3 +200,33 @@ def test_coco_compressed_rle_decode():
     compressed = {"size": rle["size"], "counts": encode_counts(list(rle["counts"]))}
     np.testing.assert_array_equal(coco_rle_to_bitmask(compressed), m)
     np.testing.assert_array_equal(coco_rle_to_bitmask(rle), m)
+
+
+def test_native_paste_masks_parity():
+    """csrc/maskops.cpp paste_masks is pixel-exact vs the numpy mirror
+    (same +0.5 center / clip / bilinear / strict-threshold math)."""
+    import cddmsl_tpu.evaluation.masks as M
+    from cddmsl_tpu.csrc import build as csrc_build
+
+    r = np.random.RandomState(3)
+    n, m, H, W = 10, 28, 96, 128
+    masks = r.rand(n, m, m).astype(np.float32)
+    boxes = np.zeros((n, 4))
+    boxes[:, 0] = r.rand(n) * 80
+    boxes[:, 1] = r.rand(n) * 60
+    boxes[:, 2] = boxes[:, 0] + 4 + r.rand(n) * 45
+    boxes[:, 3] = boxes[:, 1] + 4 + r.rand(n) * 35
+    # out-of-canvas box edge cases
+    boxes[0] = [-10, -10, 30, 30]
+    boxes[1] = [100, 70, 200, 200]
+
+    got = M.paste_masks_np(masks, boxes, (H, W))
+    if csrc_build.load_native("maskops") is None:
+        pytest.skip("no native toolchain")
+    orig = csrc_build.load_native
+    csrc_build.load_native = lambda name="x": None
+    try:
+        want = M.paste_masks_np(masks, boxes, (H, W))
+    finally:
+        csrc_build.load_native = orig
+    np.testing.assert_array_equal(got, want)
