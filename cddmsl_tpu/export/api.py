@@ -27,6 +27,15 @@ def export_inference(fn: Callable, example_args: Tuple, out_dir: str) -> str:
     blob = exported.serialize()
     with open(os.path.join(out_dir, "model.stablehlo"), "wb") as f:
         f.write(blob)
+    # Raw StableHLO bytecode: directly compilable by any PJRT plugin
+    # (PJRT_Client_Compile, format "mlir") — what the C++ deploy runtime
+    # (tools/deploy/pjrt_runner.cpp) loads; the .stablehlo artifact above
+    # additionally carries jax calling-convention metadata for
+    # load_exported.
+    with open(os.path.join(out_dir, "model.mlir"), "wb") as f:
+        f.write(exported.mlir_module_serialized)
+    for i, a in enumerate(example_args):
+        np.save(os.path.join(out_dir, f"input_{i}.npy"), np.asarray(a))
     meta = {
         "in_avals": [str(a) for a in exported.in_avals],
         "out_avals": [str(a) for a in exported.out_avals],

@@ -1,0 +1,102 @@
+"""C++ PJRT deploy runner (tools/deploy/pjrt_runner.cpp).
+
+The reference's deploy example is a C++ program loading a TorchScript
+artifact (reference tools/deploy/torchscript_mask_rcnn.cpp); ours loads the
+raw StableHLO module written by export_inference and runs it through any
+PJRT C-API plugin. Without a plugin .so on the test machine we verify the
+toolchain path: the binary builds, parses .npy inputs, and fails cleanly on
+a bogus plugin. With CDDMSL_PJRT_PLUGIN (+ CDDMSL_PJRT_OPTS) set it runs the
+full compile-execute-fetch cycle and checks the output against jax.
+"""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+TOOLS = os.path.join(os.path.dirname(__file__), "..", "tools", "deploy")
+
+
+@pytest.fixture(scope="module")
+def runner():
+    sys.path.insert(0, TOOLS)
+    import build_runner
+
+    if build_runner.find_pjrt_include() is None:
+        pytest.skip("PJRT C API header unavailable")
+    try:
+        return build_runner.build()
+    except Exception as e:
+        pytest.skip(f"native toolchain unavailable: {e}")
+
+
+@pytest.fixture(scope="module")
+def exported(tmp_path_factory):
+    import jax.numpy as jnp
+
+    from cddmsl_tpu.export.api import export_inference
+
+    def fn(x, w):
+        return jnp.tanh(x @ w).sum(axis=1)
+
+    x = np.random.RandomState(0).randn(4, 8).astype(np.float32)
+    w = np.random.RandomState(1).randn(8, 16).astype(np.float32)
+    out_dir = str(tmp_path_factory.mktemp("export"))
+    export_inference(fn, (jnp.asarray(x), jnp.asarray(w)), out_dir)
+    expected = np.abs(np.tanh(x @ w).sum(axis=1)).sum()
+    return out_dir, float(expected)
+
+
+def test_runner_help(runner):
+    out = subprocess.run([runner, "--help"], capture_output=True, text=True)
+    assert out.returncode == 0
+    assert "--plugin" in out.stdout
+
+
+def test_export_writes_raw_mlir(exported):
+    out_dir, _ = exported
+    blob = open(os.path.join(out_dir, "model.mlir"), "rb").read()
+    # StableHLO bytecode (MLIR magic) or textual module
+    assert blob[:4] == b"ML\xefR" or b"func" in blob[:200]
+    assert os.path.exists(os.path.join(out_dir, "input_0.npy"))
+    assert os.path.exists(os.path.join(out_dir, "input_1.npy"))
+
+
+def test_runner_rejects_bad_plugin(runner, exported, tmp_path):
+    out_dir, _ = exported
+    bogus = tmp_path / "not_a_plugin.so"
+    bogus.write_bytes(b"junk")
+    out = subprocess.run(
+        [runner, "--plugin", str(bogus), "--module", os.path.join(out_dir, "model.mlir")],
+        capture_output=True,
+        text=True,
+    )
+    assert out.returncode != 0
+    assert "dlopen failed" in out.stderr
+
+
+@pytest.mark.skipif(
+    not os.environ.get("CDDMSL_PJRT_PLUGIN"), reason="no PJRT plugin .so configured"
+)
+def test_runner_end_to_end(runner, exported, tmp_path):
+    out_dir, expected = exported
+    cmd = [
+        runner,
+        "--plugin", os.environ["CDDMSL_PJRT_PLUGIN"],
+        "--module", os.path.join(out_dir, "model.mlir"),
+        "--input", os.path.join(out_dir, "input_0.npy"),
+        "--input", os.path.join(out_dir, "input_1.npy"),
+        "--out-dir", str(tmp_path),
+    ]
+    for kv in os.environ.get("CDDMSL_PJRT_OPTS", "").split():
+        cmd += ["--opt", kv]
+    out = subprocess.run(cmd, capture_output=True, text=True, timeout=600)
+    assert out.returncode == 0, out.stderr[-2000:]
+    got = np.load(tmp_path / "output_0.npy")
+    # rtol covers TPU MXU default-precision matmul (bf16 operand rounding)
+    # vs the float64 numpy oracle; CPU plugins agree to ~1e-6.
+    np.testing.assert_allclose(np.abs(got).sum(), expected, rtol=1e-2)
