@@ -300,6 +300,10 @@ def get_default_cfg() -> CfgNode:
     _C.TPU = CfgNode()
     _C.TPU.MESH_SHAPE = [-1]          # -1 = all devices on one 'data' axis
     _C.TPU.MESH_AXES = ["data"]
+    # tensor parallelism: MESH_SHAPE=[dp, mp] + MESH_AXES=['data','model']
+    # activates rule-based param sharding (parallel/tp.py); empty = defaults
+    # (Megatron MLP split on every transformer MLP)
+    _C.TPU.TP_RULES = []
     _C.TPU.COMPUTE_DTYPE = "bfloat16"  # conv/matmul compute dtype
     _C.TPU.PARAM_DTYPE = "float32"
     # static-shape capacities (pad-and-mask discipline; SURVEY.md §7 point 1)

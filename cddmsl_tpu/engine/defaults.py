@@ -350,7 +350,15 @@ class DefaultTrainer:
         if self._data_loader is None:
             self._data_loader = build_detection_train_loader(cfg, seed=max(cfg.SEED, 0))
         loader = self._data_loader
-        state = replicate(self.state, self.mesh)
+        if "model" in self.mesh.axis_names:
+            # tensor-parallel placement: rule-based PartitionSpecs on the
+            # params (and, by path match, their optimizer moments); the jit
+            # step propagates the layouts (parallel/tp.py)
+            from ..parallel import rules_from_cfg, shard_params
+
+            state = shard_params(self.state, self.mesh, rules_from_cfg(cfg))
+        else:
+            state = replicate(self.state, self.mesh)
         rng = jax.random.PRNGKey(max(cfg.SEED, 0) + 12345)
 
         self.register_hooks(self.build_hooks())

@@ -7,8 +7,13 @@ from .mesh import (
     shard_batch,
 )
 from .collectives import all_gather_cat, gather_tensors, pmean_dict
+from .tp import DEFAULT_TP_RULES, param_shardings, rules_from_cfg, shard_params
 
 __all__ = [
+    "DEFAULT_TP_RULES",
+    "param_shardings",
+    "rules_from_cfg",
+    "shard_params",
     "batch_sharding",
     "create_mesh",
     "mesh_from_cfg",
