@@ -304,6 +304,18 @@ def get_default_cfg() -> CfgNode:
     # activates rule-based param sharding (parallel/tp.py); empty = defaults
     # (Megatron MLP split on every transformer MLP)
     _C.TPU.TP_RULES = []
+    # spatial partitioning: shard the input images' H axis over the 'model'
+    # mesh axis (requires a 2-D mesh). XLA runs the full-res backbone on
+    # H-shards with halo-exchange collectives — per-chip activation memory
+    # for the early conv stages drops by the model-axis size. Composes with
+    # TP_RULES (parallel/mesh.py shard_batch).
+    _C.TPU.SPATIAL_PARTITION = False
+    # fully-sharded data parallelism (ZeRO-3-style): shard every parameter
+    # and optimizer moment >= FSDP_MIN_SIZE elements on its largest
+    # divisible dim over 'data'; XLA all-gathers weights before use and
+    # reduce-scatters gradients (parallel/fsdp.py). Composes with TP_RULES.
+    _C.TPU.FSDP = False
+    _C.TPU.FSDP_MIN_SIZE = 4096
     _C.TPU.COMPUTE_DTYPE = "bfloat16"  # conv/matmul compute dtype
     _C.TPU.PARAM_DTYPE = "float32"
     # static-shape capacities (pad-and-mask discipline; SURVEY.md §7 point 1)

@@ -350,7 +350,38 @@ class DefaultTrainer:
         if self._data_loader is None:
             self._data_loader = build_detection_train_loader(cfg, seed=max(cfg.SEED, 0))
         loader = self._data_loader
-        if "model" in self.mesh.axis_names:
+        if cfg.TPU.FSDP:
+            # ZeRO-3-style placement: params + moments sharded over 'data'
+            # (and, when the mesh also carries 'model', TP rules take
+            # precedence per leaf) — parallel/fsdp.py. The step's output
+            # state is pinned to the same layouts so the shards survive the
+            # update (see make_train_step state_shardings).
+            from ..parallel import fsdp_shardings, rules_from_cfg
+
+            if jax.default_backend() == "cpu" and "concurrency_optimized" not in os.environ.get("XLA_FLAGS", ""):
+                logger.warning(
+                    "FSDP on the CPU (emulation) backend: set XLA_FLAGS="
+                    "--xla_cpu_enable_concurrency_optimized_scheduler=false "
+                    "— the default scheduler can launch FSDP's independent "
+                    "all-gathers in divergent orders across virtual devices "
+                    "and deadlock the collective rendezvous (TPU is "
+                    "unaffected; it executes collectives in program order)."
+                )
+            tp_rules = rules_from_cfg(cfg) if "model" in self.mesh.axis_names else None
+            shardings = fsdp_shardings(
+                self.state, self.mesh, min_size=cfg.TPU.FSDP_MIN_SIZE, tp_rules=tp_rules
+            )
+            state = jax.device_put(self.state, shardings)
+            self.train_step = make_train_step(
+                self.model,
+                self.optimizer,
+                enable_caption=cfg.TPU.ENABLE_CAPTION_CONSISTENCY,
+                kd_regularization=cfg.MODEL.KD_REGULRAZIATION,
+                caption_burnup_iters=cfg.SOLVER.CAPTION_BURNUP_ITERS,
+                lr_schedule=self.lr_schedule,
+                state_shardings=shardings,
+            )
+        elif "model" in self.mesh.axis_names:
             # tensor-parallel placement: rule-based PartitionSpecs on the
             # params (and, by path match, their optimizer moments); the jit
             # step propagates the layouts (parallel/tp.py)
@@ -359,6 +390,11 @@ class DefaultTrainer:
             state = shard_params(self.state, self.mesh, rules_from_cfg(cfg))
         else:
             state = replicate(self.state, self.mesh)
+        spatial = (
+            "model"
+            if (cfg.TPU.SPATIAL_PARTITION and "model" in self.mesh.axis_names)
+            else None
+        )
         rng = jax.random.PRNGKey(max(cfg.SEED, 0) + 12345)
 
         self.register_hooks(self.build_hooks())
@@ -373,7 +409,7 @@ class DefaultTrainer:
                 for it in range(self.start_iter, self.max_iter):
                     for h in self._hooks:
                         h.before_step()
-                    batch = shard_batch(next(loader), self.mesh)
+                    batch = shard_batch(next(loader), self.mesh, spatial_axis=spatial)
                     step_rng = jax.random.fold_in(rng, it)
                     state, metrics = self.train_step(state, batch, step_rng)
                     self.state = state  # hooks see the live (device) state
@@ -412,11 +448,25 @@ class DefaultTrainer:
         params = state.params if hasattr(state, "params") else state
         if self._openset and cfg.MODEL.CLIP.OPENSET_TEST_TEXT_EMB_PATH:
             params = load_text_emb_classifier(params, cfg.MODEL.CLIP.OPENSET_TEST_TEXT_EMB_PATH)
+        # mesh-sharded eval: round the eval batch up to a multiple of the
+        # data-axis size and shard each batch over the mesh, so inference
+        # rides every chip (the reference distributes eval via DDP +
+        # InferenceSampler per rank; here it is one SPMD program). The
+        # loader already pads the final partial batch by repetition, so
+        # every batch divides evenly.
+        dp = dict(self.mesh.shape).get("data", 1)
+        eval_bs = cfg.MODEL.CLIP.IMS_PER_BATCH_TEST
+        place_fn = None
+        if dp > 1:
+            eval_bs = ((eval_bs + dp - 1) // dp) * dp
+            place_fn = lambda b: shard_batch(b, self.mesh)
         results = {}
         for dataset_name in cfg.DATASETS.TEST:
-            loader, n = build_detection_test_loader(cfg, dataset_name)
+            loader, n = build_detection_test_loader(cfg, dataset_name, batch_size=eval_bs)
             evaluator = build_evaluator(cfg, dataset_name)
-            res = inference_on_dataset(self.eval_step, params, loader, n, evaluator)
+            res = inference_on_dataset(
+                self.eval_step, params, loader, n, evaluator, place_fn=place_fn
+            )
             results[dataset_name] = res
             logger.info("Results on %s:", dataset_name)
             print_csv_format(res)

@@ -258,6 +258,11 @@ class MeanTeacherTrainer(DefaultTrainer):
 
         loader = build_semisup_train_loader_two_crops(cfg, seed=max(cfg.SEED, 0))
         state = replicate(self.mt_state, self.mesh)
+        spatial = (
+            "model"
+            if (cfg.TPU.SPATIAL_PARTITION and "model" in self.mesh.axis_names)
+            else None
+        )
         rng = jax.random.PRNGKey(max(cfg.SEED, 0) + 999)
         writers = [CommonMetricPrinter(self.max_iter), JSONWriter(os.path.join(cfg.OUTPUT_DIR, "metrics.json"))]
         log_period = 20
@@ -266,7 +271,10 @@ class MeanTeacherTrainer(DefaultTrainer):
             with jax.sharding.set_mesh(self.mesh):
                 for it in range(self.start_iter, self.max_iter):
                     (ls, lw), (us, uw) = next(loader)
-                    ls, lw, us, uw = (shard_batch(b, self.mesh) for b in (ls, lw, us, uw))
+                    ls, lw, us, uw = (
+                        shard_batch(b, self.mesh, spatial_axis=spatial)
+                        for b in (ls, lw, us, uw)
+                    )
                     state, metrics = self.mt_step(state, ls, lw, us, uw, jax.random.fold_in(rng, it))
                     if (it + 1) % log_period == 0:
                         host = jax.device_get(metrics)

@@ -50,8 +50,15 @@ def make_train_step(
     caption_burnup_iters: int = 10000,
     lr_schedule: Optional[Callable] = None,
     donate: bool = True,
+    state_shardings: Optional[Any] = None,
 ) -> Callable[[TrainState, DetBatch, jax.Array], Tuple[TrainState, Dict[str, jnp.ndarray]]]:
-    """Returns jitted (state, batch, rng) -> (state, metrics)."""
+    """Returns jitted (state, batch, rng) -> (state, metrics).
+
+    `state_shardings` (a TrainState-shaped pytree of NamedShardings, e.g.
+    parallel/fsdp.py fsdp_shardings) pins the OUTPUT state's layouts. FSDP
+    needs this: without the constraint XLA may materialize updated params
+    replicated, silently paying the memory FSDP exists to save and
+    triggering a recompile on the next call (input shardings changed)."""
 
     def loss_fn(params, batch: DetBatch, rng: jax.Array, step: jnp.ndarray):
         losses = model.apply(
@@ -79,7 +86,14 @@ def make_train_step(
         new_state = state.replace(step=state.step + 1, params=new_params, opt_state=new_opt_state)
         return new_state, metrics
 
-    return jax.jit(train_step, donate_argnums=(0,) if donate else ())
+    kwargs = {}
+    if state_shardings is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        mesh = jax.tree_util.tree_leaves(state_shardings)[0].mesh
+        # metrics are scalars -> replicated (a prefix leaf covers the dict)
+        kwargs["out_shardings"] = (state_shardings, NamedSharding(mesh, PartitionSpec()))
+    return jax.jit(train_step, donate_argnums=(0,) if donate else (), **kwargs)
 
 
 def make_eval_step(model: GeneralizedRCNN):

@@ -20,11 +20,18 @@ def inference_on_dataset(
     num_images: int,
     evaluator,
     warmup: int = 1,
+    place_fn: Optional[Callable] = None,
 ) -> dict:
     """Runs the model over the loader, feeds the evaluator, returns metrics.
 
     The loader yields (DetBatch, metas) where len(metas) <= batch gives the
-    number of real (non-repeated-padding) images in the batch."""
+    number of real (non-repeated-padding) images in the batch.
+
+    `place_fn` (optional) places each host batch on devices before the step —
+    the mesh-sharded-eval hook (engine/defaults.py test() passes shard_batch
+    over the trainer mesh, the TPU-native form of the reference's
+    DDP-distributed inference_on_dataset, evaluator.py:103-210 +
+    InferenceSampler shard-per-rank)."""
     evaluator.reset() if hasattr(evaluator, "reset") else None
     total_compute, total_eval, total_data = 0.0, 0.0, 0.0
     start = time.time()
@@ -33,6 +40,8 @@ def inference_on_dataset(
     for batch, metas in data_loader:
         total_data += time.time() - t_data
         t0 = time.time()
+        if place_fn is not None:
+            batch = place_fn(batch)
         det = eval_step(params, batch)
         boxes = np.asarray(det.boxes)
         scores = np.asarray(det.scores)

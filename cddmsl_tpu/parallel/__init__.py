@@ -7,6 +7,7 @@ from .mesh import (
     shard_batch,
 )
 from .collectives import all_gather_cat, gather_tensors, pmean_dict
+from .fsdp import fsdp_shard, fsdp_shardings
 from .tp import DEFAULT_TP_RULES, param_shardings, rules_from_cfg, shard_params
 
 __all__ = [

@@ -40,13 +40,38 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def shard_batch(batch, mesh: Mesh, axis: str = "data"):
-    """Place a host batch pytree with its leading dim sharded over `axis`."""
+def shard_batch(batch, mesh: Mesh, axis: str = "data", spatial_axis: Optional[str] = None):
+    """Place a host batch pytree with its leading dim sharded over `axis`.
+
+    With `spatial_axis` (e.g. 'model'), image tensors — NHWC leaves with
+    C==3 whose H divides the axis size — are ALSO sharded on H, i.e.
+    P(axis, spatial_axis). This is spatial partitioning of the full-res
+    backbone: XLA's SPMD partitioner runs every conv on an H-shard and
+    inserts the halo-exchange collectives at layer boundaries (the CNN
+    analogue of sequence parallelism; the reference's DDP has no such
+    axis). Activations of the heaviest layers (stride 2/4 stages on
+    800x1344 inputs) shrink by the axis size per chip; math is unchanged
+    (halo exchange keeps convolutions exact).
+    """
     sharding = batch_sharding(mesh, axis)
-    return jax.tree_util.tree_map(
-        lambda x: jax.device_put(x, sharding) if hasattr(x, "shape") and x.ndim > 0 else x,
-        batch,
+    spatial = (
+        NamedSharding(mesh, P(axis, spatial_axis)) if spatial_axis is not None else None
     )
+    sp = mesh.shape[spatial_axis] if spatial_axis is not None else 1
+
+    def place(x):
+        if not (hasattr(x, "shape") and x.ndim > 0):
+            return x
+        if (
+            spatial is not None
+            and x.ndim == 4
+            and x.shape[-1] == 3
+            and x.shape[1] % sp == 0
+        ):
+            return jax.device_put(x, spatial)
+        return jax.device_put(x, sharding)
+
+    return jax.tree_util.tree_map(place, batch)
 
 
 def replicate(tree, mesh: Mesh):
