@@ -63,6 +63,22 @@ def get_default_cfg() -> CfgNode:
     _C.MODEL.FPN.NORM = ""
     _C.MODEL.FPN.FUSE_TYPE = "sum"
 
+    # ---------------- MODEL.RETINANET (reference defaults.py RETINANET) ----
+    _C.MODEL.RETINANET = CfgNode()
+    _C.MODEL.RETINANET.NUM_CLASSES = 80
+    _C.MODEL.RETINANET.IN_FEATURES = ["p3", "p4", "p5", "p6", "p7"]
+    _C.MODEL.RETINANET.NUM_CONVS = 4
+    _C.MODEL.RETINANET.IOU_THRESHOLDS = [0.4, 0.5]
+    _C.MODEL.RETINANET.IOU_LABELS = [0, -1, 1]
+    _C.MODEL.RETINANET.PRIOR_PROB = 0.01
+    _C.MODEL.RETINANET.SCORE_THRESH_TEST = 0.05
+    _C.MODEL.RETINANET.TOPK_CANDIDATES_TEST = 1000
+    _C.MODEL.RETINANET.NMS_THRESH_TEST = 0.5
+    _C.MODEL.RETINANET.BBOX_REG_WEIGHTS = [1.0, 1.0, 1.0, 1.0]
+    _C.MODEL.RETINANET.FOCAL_LOSS_GAMMA = 2.0
+    _C.MODEL.RETINANET.FOCAL_LOSS_ALPHA = 0.25
+    _C.MODEL.RETINANET.SMOOTH_L1_LOSS_BETA = 0.1
+
     # ---------------- MODEL.ANCHOR_GENERATOR ----------------
     _C.MODEL.ANCHOR_GENERATOR = CfgNode()
     _C.MODEL.ANCHOR_GENERATOR.NAME = "DefaultAnchorGenerator"

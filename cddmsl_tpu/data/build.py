@@ -208,19 +208,60 @@ def _bucket_for(
     return (H, W) if w >= h else (W, H)
 
 
+import weakref
+
+_LIVE_PREFETCHERS: "weakref.WeakSet" = weakref.WeakSet()
+
+
+def stop_all_prefetchers() -> int:
+    """Stop every live prefetch thread. Train loaders are INFINITE
+    generators, so an abandoned loader leaves a producer thread alive; on a
+    small host those threads convoy with the consumer's jit dispatch (each
+    item does device_puts that contend on jax's dispatch locks — observed as
+    a multi-hour suite stall once several test modules had abandoned
+    loaders). Tests call this between modules (tests/conftest.py); the
+    trainer's loader lives for the whole run, so production code never
+    needs it."""
+    n = 0
+    for p in list(_LIVE_PREFETCHERS):
+        p.close()
+        n += 1
+    return n
+
+
 class _Prefetcher:
     """Background-thread prefetch (replaces DataLoader worker processes)."""
 
     def __init__(self, gen_fn: Callable[[], Iterator], depth: int = 4):
         self.q: "queue.Queue" = queue.Queue(maxsize=depth)
         self._stop = object()
+        self._closed = threading.Event()
         self.thread = threading.Thread(target=self._run, args=(gen_fn,), daemon=True)
         self.thread.start()
+        _LIVE_PREFETCHERS.add(self)
+
+    def close(self):
+        """Ask the producer thread to exit after its current item; drain the
+        queue so a blocked put() wakes up."""
+        self._closed.set()
+        try:
+            while True:
+                self.q.get_nowait()
+        except queue.Empty:
+            pass
+        try:  # unblock any consumer still iterating
+            self.q.put_nowait(self._stop)
+        except queue.Full:
+            pass
 
     def _run(self, gen_fn):
         try:
             for item in gen_fn():
+                if self._closed.is_set():
+                    return
                 self.q.put(item)
+                if self._closed.is_set():
+                    return
         except Exception as e:  # surface loader errors to the consumer
             self.q.put(e)
         self.q.put(self._stop)

@@ -99,3 +99,22 @@ def register_all(root: str = None) -> None:
             os.path.join(root, "coco", "annotations", f"instances_{split}2017.json"),
             os.path.join(root, "coco", f"{split}2017"),
         )
+
+    # ---- LVIS v1 (reference builtin.py register_all_lvis) ----
+    from .lvis import register_lvis_instances
+
+    for split in ("train", "val"):
+        register_lvis_instances(
+            f"lvis_v1_{split}",
+            os.path.join(root, "lvis", f"lvis_v1_{split}.json"),
+            os.path.join(root, "coco"),  # LVIS images live in the COCO dirs
+        )
+
+    # ---- reference-named cityscapes instance-seg aliases (builtin.py
+    # register_all_cityscapes: cityscapes_fine_instance_seg_{train,val}) ----
+    for split in ("train", "val"):
+        register_cityscapes(
+            f"cityscapes_fine_instance_seg_{split}",
+            os.path.join(city, "leftImg8bit", split),
+            os.path.join(city, "gtFine", split),
+        )

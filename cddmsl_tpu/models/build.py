@@ -106,12 +106,65 @@ def build_generalized_rcnn(cfg) -> GeneralizedRCNN:
 
 
 @META_ARCH_REGISTRY.register()
+def build_fpn_rcnn(cfg):
+    """GeneralizedRCNN with BACKBONE.NAME=build_resnet_fpn_backbone — the
+    reference's Base-RCNN-FPN family (d2 ResNet + FPN, multi-level RPN over
+    p2..p6, StandardROIHeads 2-FC box head + optional mask head)."""
+    from .fpn_rcnn import FPNRCNN
+
+    # d2 FPN convention: one anchor size per level ([[32],[64],...]); a flat
+    # single group is spread over the 5 levels by doubling (d2
+    # anchor_generator _broadcast_params semantics for the common configs)
+    groups = list(cfg.MODEL.ANCHOR_GENERATOR.SIZES)
+    if len(groups) == 5:
+        sizes = tuple(g[0] if isinstance(g, (list, tuple)) else g for g in groups)
+    else:
+        flat = [s for g in groups for s in (g if isinstance(g, (list, tuple)) else [g])]
+        sizes = tuple(flat[:5]) if len(flat) >= 5 else tuple(flat[0] * 2 ** i for i in range(5))
+    return FPNRCNN(
+        num_classes=cfg.MODEL.ROI_HEADS.NUM_CLASSES,
+        depth=cfg.MODEL.RESNETS.DEPTH,
+        mask_on=cfg.MODEL.MASK_ON,
+        anchor_sizes=sizes,
+        anchor_aspect_ratios=tuple(cfg.MODEL.ANCHOR_GENERATOR.ASPECT_RATIOS[0]),
+        rpn_batch_size_per_image=cfg.MODEL.RPN.BATCH_SIZE_PER_IMAGE,
+        rpn_positive_fraction=cfg.MODEL.RPN.POSITIVE_FRACTION,
+        rpn_pre_nms_topk=(cfg.MODEL.RPN.PRE_NMS_TOPK_TRAIN, cfg.MODEL.RPN.PRE_NMS_TOPK_TEST),
+        rpn_post_nms_topk=(cfg.MODEL.RPN.POST_NMS_TOPK_TRAIN, cfg.MODEL.RPN.POST_NMS_TOPK_TEST),
+        rpn_nms_thresh=cfg.MODEL.RPN.NMS_THRESH,
+        rpn_loss_weight=cfg.MODEL.RPN.LOSS_WEIGHT,
+        roi_batch_size_per_image=cfg.MODEL.ROI_HEADS.BATCH_SIZE_PER_IMAGE,
+        roi_positive_fraction=cfg.MODEL.ROI_HEADS.POSITIVE_FRACTION,
+        fc_dim=cfg.MODEL.ROI_BOX_HEAD.FC_DIM,
+        score_thresh_test=cfg.MODEL.ROI_HEADS.SCORE_THRESH_TEST,
+        nms_thresh_test=cfg.MODEL.ROI_HEADS.NMS_THRESH_TEST,
+        detections_per_image=cfg.TEST.DETECTIONS_PER_IMAGE,
+        mask_num_conv=cfg.MODEL.ROI_MASK_HEAD.NUM_CONV,
+        mask_conv_dim=cfg.MODEL.ROI_MASK_HEAD.CONV_DIM,
+        mask_canvas_stride=float(cfg.TPU.MASK_CANVAS_STRIDE),
+        use_text_emb=cfg.MODEL.CLIP.USE_TEXT_EMB_CLASSIFIER,
+        temperature=cfg.MODEL.CLIP.CLSS_TEMP,
+        pixel_mean=tuple(cfg.MODEL.PIXEL_MEAN),
+        pixel_std=tuple(cfg.MODEL.PIXEL_STD),
+        backbone_width=cfg.TPU.BACKBONE_WIDTH,
+        dtype=_dtype(cfg),
+    )
+
+
+@META_ARCH_REGISTRY.register()
 def build_retinanet(cfg):
     from .retinanet import RetinaNet
 
+    r = cfg.MODEL.RETINANET
     return RetinaNet(
-        num_classes=cfg.MODEL.ROI_HEADS.NUM_CLASSES,
+        num_classes=r.NUM_CLASSES,
         depth=cfg.MODEL.RESNETS.DEPTH,
+        focal_alpha=r.FOCAL_LOSS_ALPHA,
+        focal_gamma=r.FOCAL_LOSS_GAMMA,
+        smooth_l1_beta=r.SMOOTH_L1_LOSS_BETA,
+        score_thresh=r.SCORE_THRESH_TEST,
+        nms_thresh=r.NMS_THRESH_TEST,
+        topk_candidates=r.TOPK_CANDIDATES_TEST,
         pixel_mean=tuple(cfg.MODEL.PIXEL_MEAN),
         pixel_std=tuple(cfg.MODEL.PIXEL_STD),
         detections_per_image=cfg.TEST.DETECTIONS_PER_IMAGE,
@@ -214,6 +267,10 @@ def build_model(cfg):
     # the reference reaches cascade via ROI_HEADS.NAME inside GeneralizedRCNN
     if name == "GeneralizedRCNN" and cfg.MODEL.ROI_HEADS.NAME == "CascadeROIHeads":
         builder = build_cascade_rcnn
+    # ... and the FPN family via BACKBONE.NAME=build_resnet_fpn_backbone
+    # (reference Base-RCNN-FPN.yaml)
+    elif name == "GeneralizedRCNN" and "fpn_backbone" in cfg.MODEL.BACKBONE.NAME:
+        builder = build_fpn_rcnn
     if builder is None:
         if name in META_ARCH_REGISTRY:
             builder = META_ARCH_REGISTRY.get(name)

@@ -1,0 +1,171 @@
+"""FPN-based Faster/Mask R-CNN meta-architecture (the reference's most-used
+config family: configs/Base-RCNN-FPN.yaml -> GeneralizedRCNN with
+build_resnet_fpn_backbone, multi-level RPN over p2..p6
+(modeling/proposal_generator/rpn.py + proposal_utils.py
+find_top_rpn_proposals), and StandardROIHeads' 2-FC box head + mask head
+pooling 7^2/14^2 from p2..p5 (modeling/roi_heads/roi_heads.py:530+)).
+
+TPU shape discipline is the same as the C4 GeneralizedRCNN: fixed-capacity
+proposals with validity masks, all selection inside one jitted program.
+Exposes the same trainer/eval protocol (`cddmsl_losses`, `init_all`,
+`inference`) so DefaultTrainer and make_train_step/make_eval_step work
+unchanged — the caption-consistency arguments are accepted and ignored
+(this family has no language branches; set TPU.ENABLE_CAPTION_CONSISTENCY
+to false in configs, and the losses are identical either way)."""
+
+from typing import Any, Dict, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..structures import boxes as box_ops
+from .backbone.resnet import D2ResNet, FPN
+from .fast_rcnn import DetectionResult
+from .rcnn import DetBatch
+from .roi_heads import CLIPStandardROIHeads
+from .rpn import FPNRPN
+
+
+class FPNRCNN(nn.Module):
+    num_classes: int = 80
+    depth: int = 50
+    mask_on: bool = False
+    # RPN (d2 FPN defaults: one size per level, topk per level 2000/1000,
+    # post 1000/1000 — reference Base-RCNN-FPN.yaml + config/defaults.py)
+    anchor_sizes: Sequence[float] = (32, 64, 128, 256, 512)
+    anchor_aspect_ratios: Sequence[float] = (0.5, 1.0, 2.0)
+    rpn_batch_size_per_image: int = 256
+    rpn_positive_fraction: float = 0.5
+    rpn_pre_nms_topk: Tuple[int, int] = (2000, 1000)  # (train, test) per level
+    rpn_post_nms_topk: Tuple[int, int] = (1000, 1000)
+    rpn_nms_thresh: float = 0.7
+    rpn_loss_weight: float = 1.0
+    # RoI heads
+    roi_batch_size_per_image: int = 512
+    roi_positive_fraction: float = 0.25
+    fc_dim: int = 1024
+    score_thresh_test: float = 0.05
+    nms_thresh_test: float = 0.5
+    detections_per_image: int = 100
+    mask_num_conv: int = 4
+    mask_conv_dim: int = 256
+    mask_canvas_stride: float = 4.0
+    use_text_emb: bool = False
+    emb_dim: int = 1024
+    temperature: float = 0.01
+    fpn_out_channels: int = 256
+    pixel_mean: Sequence[float] = (103.53, 116.28, 123.675)
+    pixel_std: Sequence[float] = (1.0, 1.0, 1.0)
+    dtype: Any = jnp.float32
+    # compile-light overrides (tests)
+    backbone_width: int = 0
+
+    def setup(self):
+        self.backbone = D2ResNet(
+            depth=self.depth,
+            out_features=("res2", "res3", "res4", "res5"),
+            width_per_group=self.backbone_width or 64,
+            dtype=self.dtype,
+        )
+        self.fpn = FPN(
+            in_features=("res2", "res3", "res4", "res5"),
+            out_channels=self.fpn_out_channels,
+            top_block_p6=True,  # RPN sees p6 (Base-RCNN-FPN IN_FEATURES)
+            dtype=self.dtype,
+        )
+        self.proposal_generator = FPNRPN(
+            in_channels=self.fpn_out_channels,
+            strides=(4, 8, 16, 32, 64),
+            anchor_sizes=tuple(self.anchor_sizes),
+            anchor_aspect_ratios=tuple(self.anchor_aspect_ratios),
+            batch_size_per_image=self.rpn_batch_size_per_image,
+            positive_fraction=self.rpn_positive_fraction,
+            pre_nms_topk_train=self.rpn_pre_nms_topk[0],
+            pre_nms_topk_test=self.rpn_pre_nms_topk[1],
+            post_nms_topk_train=self.rpn_post_nms_topk[0],
+            post_nms_topk_test=self.rpn_post_nms_topk[1],
+            nms_thresh=self.rpn_nms_thresh,
+            loss_weight=self.rpn_loss_weight,
+            dtype=self.dtype,
+        )
+        self.roi_heads = CLIPStandardROIHeads(
+            num_classes=self.num_classes,
+            batch_size_per_image=self.roi_batch_size_per_image,
+            positive_fraction=self.roi_positive_fraction,
+            fc_dim=self.fc_dim,
+            use_text_emb=self.use_text_emb,
+            emb_dim=self.emb_dim,
+            temperature=self.temperature,
+            score_thresh_test=self.score_thresh_test,
+            nms_thresh_test=self.nms_thresh_test,
+            detections_per_image=self.detections_per_image,
+            mask_on=self.mask_on,
+            mask_num_conv=self.mask_num_conv,
+            mask_conv_dim=self.mask_conv_dim,
+            mask_canvas_stride=self.mask_canvas_stride,
+            dtype=self.dtype,
+        )
+
+    def _normalize(self, images: jnp.ndarray) -> jnp.ndarray:
+        mean = jnp.asarray(self.pixel_mean, jnp.float32)
+        std = jnp.asarray(self.pixel_std, jnp.float32)
+        x = images
+        if float(sum(self.pixel_mean)) < 3.0:  # CLIP-style stats on [0,1]
+            x = x / 255.0
+        return ((x - mean) / std).astype(self.dtype)
+
+    def _features(self, images: jnp.ndarray):
+        feats = self.fpn(self.backbone(self._normalize(images)))
+        head_levels = [feats[k] for k in ("p2", "p3", "p4", "p5")]
+        rpn_levels = head_levels + [feats["p6"]]
+        return head_levels, rpn_levels
+
+    def supervised_losses(self, batch: DetBatch, rng: jax.Array) -> Dict[str, jnp.ndarray]:
+        head_levels, rpn_levels = self._features(batch.image)
+        k1, k2 = jax.random.split(rng)
+        proposals, rpn_losses = self.proposal_generator(
+            rpn_levels, batch.image_sizes, training=True,
+            gt_boxes=batch.gt_boxes, gt_valid=batch.gt_valid, rng=k1,
+        )
+        _, det_losses = self.roi_heads(
+            head_levels, proposals, batch.image_sizes, training=True,
+            gt_boxes=batch.gt_boxes, gt_classes=batch.gt_classes,
+            gt_valid=batch.gt_valid, gt_masks=batch.gt_masks if self.mask_on else None,
+            rng=k2,
+        )
+        return {**rpn_losses, **det_losses}
+
+    def __call__(self, batch: DetBatch, rng: jax.Array):
+        return self.supervised_losses(batch, rng)
+
+    def init_all(self, batch: DetBatch, rng: jax.Array):
+        """One call touching every submodule (train heads); inference reuses
+        the same parameters."""
+        return self.supervised_losses(batch, rng)
+
+    def cddmsl_losses(
+        self,
+        batch: DetBatch,
+        rng: jax.Array,
+        caption_on: jnp.ndarray,
+        kd_regularization: bool = True,
+        enable_caption: bool = True,
+    ):
+        """Trainer protocol (engine/train_loop.py make_train_step). The FPN
+        family has no language branches — the caption gates are ignored."""
+        del caption_on, kd_regularization, enable_caption
+        return self.supervised_losses(batch, rng)
+
+    def inference(self, batch: DetBatch, do_postprocess: bool = True) -> DetectionResult:
+        head_levels, rpn_levels = self._features(batch.image)
+        proposals, _ = self.proposal_generator(rpn_levels, batch.image_sizes, training=False)
+        detections, _ = self.roi_heads(head_levels, proposals, batch.image_sizes, training=False)
+        if do_postprocess:
+            # detector_postprocess (reference rcnn.py:770-784)
+            scale = (batch.orig_sizes / jnp.maximum(batch.image_sizes, 1)).astype(jnp.float32)
+            sxy = jnp.stack([scale[:, 1], scale[:, 0], scale[:, 1], scale[:, 0]], axis=-1)
+            boxes = detections.boxes * sxy[:, None, :]
+            boxes = jax.vmap(lambda bx, hw: box_ops.clip(bx, (hw[0], hw[1])))(boxes, batch.orig_sizes)
+            detections = detections._replace(boxes=boxes)
+        return detections

@@ -180,3 +180,113 @@ class RPN(nn.Module):
 
         boxes, scores, valid = jax.vmap(per_image)(logits, deltas, image_sizes)
         return Proposals(boxes=boxes, scores=jnp.where(valid, scores, -jnp.inf), valid=valid)
+
+
+class FPNRPN(RPN):
+    """Multi-level RPN over FPN levels (reference rpn.py with
+    cfg.MODEL.RPN.IN_FEATURES = p2..p6 + proposal_utils.py
+    find_top_rpn_proposals): ONE shared head applied to every level,
+    per-level anchor grids (one size per level x the shared aspect ratios),
+    per-level pre-NMS top-k, then a single cross-level NMS via the
+    level-offset trick (the reference's `batched_nms(boxes, scores, lvl)`
+    with level ids as class ids, layers/nms.py:16-43), keeping the global
+    top post_nms_topk by score.
+
+    `anchor_sizes` holds ONE size per level here (d2 FPN convention:
+    ANCHOR_GENERATOR.SIZES = [[32],[64],[128],[256],[512]]), paired with
+    `strides`."""
+
+    strides: Sequence[int] = (4, 8, 16, 32, 64)
+
+    def setup(self):
+        assert len(self.anchor_sizes) == len(self.strides), (
+            "FPNRPN wants one anchor size per pyramid level"
+        )
+        self.head = StandardRPNHead(
+            num_anchors=len(self.anchor_aspect_ratios),
+            conv_dim=self.in_channels,
+            dtype=self.dtype,
+        )
+        self.box2box = Box2BoxTransform(self.bbox_reg_weights)
+        self.matcher = Matcher(self.iou_thresholds, self.iou_labels, allow_low_quality_matches=True)
+        self.level_cell_anchors = [
+            generate_cell_anchors((size,), self.anchor_aspect_ratios)
+            for size in self.anchor_sizes
+        ]
+
+    def __call__(
+        self,
+        features: Sequence[jnp.ndarray],  # per level (B, H_l, W_l, C)
+        image_sizes: jnp.ndarray,  # (B, 2)
+        training: bool,
+        gt_boxes: Optional[jnp.ndarray] = None,
+        gt_valid: Optional[jnp.ndarray] = None,
+        rng: Optional[jax.Array] = None,
+        compute_losses: bool = True,
+    ) -> Tuple[Proposals, Dict[str, jnp.ndarray]]:
+        b = features[0].shape[0]
+        a = len(self.anchor_aspect_ratios)
+        pre_k = self.pre_nms_topk_train if training else self.pre_nms_topk_test
+        post_k = self.post_nms_topk_train if training else self.post_nms_topk_test
+
+        logits_all, deltas_all, anchors_all = [], [], []
+        cand_boxes, cand_scores, cand_levels = [], [], []
+        for lvl, (feat, stride, cell) in enumerate(
+            zip(features, self.strides, self.level_cell_anchors)
+        ):
+            h, w = feat.shape[1:3]
+            logits_map, deltas_map = self.head(feat)
+            logits = logits_map.reshape(b, h * w * a).astype(jnp.float32)
+            deltas = deltas_map.reshape(b, h * w * a, 4).astype(jnp.float32)
+            anchors = self._grid(h, w, stride, cell)
+            logits_all.append(logits)
+            deltas_all.append(deltas)
+            anchors_all.append(anchors)
+
+            # per-level candidate selection (pre_nms_topk is PER LEVEL in the
+            # reference, proposal_utils.py:60-75)
+            k_l = min(pre_k, anchors.shape[0])
+            lg = jax.lax.stop_gradient(logits)
+            dl = jax.lax.stop_gradient(deltas)
+
+            def per_image(logit, delta, hw):
+                top_scores, top_idx = jax.lax.top_k(logit, k_l)
+                top_boxes = self.box2box.apply_deltas(delta[top_idx], anchors[top_idx])
+                top_boxes = box_ops.clip(top_boxes, (hw[0], hw[1]))
+                ok = box_ops.nonempty(top_boxes, self.min_box_size)
+                ok &= jnp.all(jnp.isfinite(top_boxes), axis=-1) & jnp.isfinite(top_scores)
+                return top_boxes, jnp.where(ok, top_scores, -jnp.inf)
+
+            bx, sc = jax.vmap(per_image)(lg, dl, image_sizes)
+            cand_boxes.append(bx)
+            cand_scores.append(sc)
+            cand_levels.append(jnp.full((b, k_l), lvl, jnp.int32))
+
+        losses: Dict[str, jnp.ndarray] = {}
+        if training and compute_losses:
+            assert gt_boxes is not None and rng is not None
+            # anchors of ALL levels matched jointly (reference rpn.py
+            # label_and_sample_anchors concatenates the level grids)
+            anchors = jnp.concatenate(anchors_all, axis=0)
+            logits = jnp.concatenate(logits_all, axis=1)
+            deltas = jnp.concatenate(deltas_all, axis=1)
+            keys = jax.random.split(rng, b)
+            losses = self._losses(anchors, logits, deltas, gt_boxes, gt_valid, keys)
+
+        boxes = jnp.concatenate(cand_boxes, axis=1)
+        scores = jnp.concatenate(cand_scores, axis=1)
+        levels = jnp.concatenate(cand_levels, axis=1)
+
+        def nms_per_image(bx, sc, lv, hw):
+            # boxes are clipped to the image, so a (max dim + 1) per-level
+            # offset makes levels non-overlapping -> one NMS suppresses
+            # within levels only, exactly batched_nms semantics
+            off = lv.astype(jnp.float32)[:, None] * (jnp.max(hw).astype(jnp.float32) + 1.0)
+            idx, valid = nms(bx + off, sc, self.nms_thresh, post_k, valid=sc > -jnp.inf)
+            return bx[idx], sc[idx], valid
+
+        pb, ps, pv = jax.vmap(nms_per_image)(boxes, scores, levels, image_sizes)
+        return Proposals(boxes=pb, scores=jnp.where(pv, ps, -jnp.inf), valid=pv), losses
+
+    def _grid(self, h: int, w: int, stride: int, cell: np.ndarray) -> jnp.ndarray:
+        return anchor_grid(h, w, stride, cell, self.anchor_offset)

@@ -37,3 +37,24 @@ jax.config.update("jax_persistent_cache_enable_xla_caches", "none")
 @pytest.fixture
 def rng():
     return np.random.RandomState(42)
+
+
+# Bound the suite's resident memory: one pytest process accumulates every
+# compiled XLA executable (plus their buffers), reaching ~25 GB by
+# mid-suite — large enough to trigger transparent-huge-page compaction
+# storms (khugepaged pinning the CPU at 95% system time, observed as a
+# multi-hour stall around test #115 on a 1-core host). Clearing the jit
+# caches at module boundaries keeps RSS flat; re-used programs reload from
+# the persistent compile cache in seconds.
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_after_module():
+    yield
+    # Abandoned train loaders are INFINITE generators whose prefetch threads
+    # keep producing (image decode + device_put) after their module ends; on
+    # a 1-core host they convoy with the next module's dispatch — observed
+    # as a multi-hour stall (docs/STATUS.md ops note). Stop them, then drop
+    # the accumulated executables.
+    from cddmsl_tpu.data.build import stop_all_prefetchers
+
+    stop_all_prefetchers()
+    jax.clear_caches()

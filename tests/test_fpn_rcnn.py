@@ -1,0 +1,150 @@
+"""FPN Faster/Mask R-CNN family (models/fpn_rcnn.py + models/rpn.py FPNRPN):
+the reference's Base-RCNN-FPN config surface (detectron2 configs/
+Base-RCNN-FPN.yaml -> GeneralizedRCNN + build_resnet_fpn_backbone +
+multi-level RPN + StandardROIHeads). Covers: FPNRPN anchor/level math and
+cross-level NMS isolation, config-driven build dispatch, a train loss step
+(boxes + masks), and the inference path end-to-end."""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from cddmsl_tpu.config import get_cfg
+from cddmsl_tpu.models import DetBatch, build_model
+
+CONFIGS = os.path.join(os.path.dirname(__file__), "..", "configs")
+
+
+def _tiny_cfg(rel):
+    cfg = get_cfg()
+    cfg.merge_from_file(os.path.join(CONFIGS, rel))
+    cfg.MODEL.RESNETS.DEPTH = 10
+    cfg.TPU.BACKBONE_WIDTH = 16
+    cfg.MODEL.RPN.PRE_NMS_TOPK_TRAIN = 64
+    cfg.MODEL.RPN.PRE_NMS_TOPK_TEST = 32
+    cfg.MODEL.RPN.POST_NMS_TOPK_TRAIN = 64
+    cfg.MODEL.RPN.POST_NMS_TOPK_TEST = 32
+    cfg.MODEL.ROI_HEADS.BATCH_SIZE_PER_IMAGE = 16
+    cfg.MODEL.ROI_BOX_HEAD.FC_DIM = 32
+    cfg.MODEL.ROI_MASK_HEAD.CONV_DIM = 16
+    cfg.MODEL.ROI_MASK_HEAD.NUM_CONV = 1
+    cfg.TEST.DETECTIONS_PER_IMAGE = 16
+    return cfg
+
+
+def _batch(g=3, with_masks=False):
+    B, H, W = 2, 64, 96
+    r = np.random.RandomState(0)
+    gtb = np.zeros((B, g, 4), np.float32)
+    gtv = np.zeros((B, g), bool)
+    gtb[:, 0] = [8, 8, 56, 52]
+    gtb[:, 1] = [30, 20, 90, 60]
+    gtv[:, :2] = True
+    return DetBatch(
+        image=jnp.asarray(r.rand(B, H, W, 3) * 255, jnp.float32),
+        image_sizes=jnp.asarray([[H, W]] * B, jnp.int32),
+        orig_sizes=jnp.asarray([[2 * H, 2 * W]] * B, jnp.int32),
+        gt_boxes=jnp.asarray(gtb),
+        gt_classes=jnp.asarray(r.randint(0, 80, (B, g)), jnp.int32),
+        gt_valid=jnp.asarray(gtv),
+        gt_masks=jnp.asarray(np.ones((B, g, 16, 24), np.float32)) if with_masks else None,
+    )
+
+
+def test_build_dispatch_fpn():
+    cfg = _tiny_cfg("COCO-Detection/faster_rcnn_R_50_FPN_1x.yaml")
+    model = build_model(cfg)
+    assert type(model).__name__ == "FPNRCNN"
+    assert not model.mask_on
+
+
+def test_build_dispatch_mask_fpn():
+    for rel in (
+        "COCO-InstanceSegmentation/mask_rcnn_R_50_FPN_1x.yaml",
+        "Cityscapes/mask_rcnn_R_50_FPN.yaml",
+        "LVISv1-InstanceSegmentation/mask_rcnn_R_50_FPN_1x.yaml",
+    ):
+        model = build_model(_tiny_cfg(rel))
+        assert type(model).__name__ == "FPNRCNN" and model.mask_on, rel
+
+
+def test_pascal_voc_configs_build():
+    m1 = build_model(_tiny_cfg("PascalVOC-Detection/faster_rcnn_R_50_C4.yaml"))
+    assert type(m1).__name__ == "GeneralizedRCNN"
+    m2 = build_model(_tiny_cfg("PascalVOC-Detection/faster_rcnn_R_50_FPN.yaml"))
+    assert type(m2).__name__ == "FPNRCNN" and m2.num_classes == 20
+
+
+def test_fpnrpn_level_isolation():
+    """Cross-level NMS must not suppress across levels: two identical boxes
+    from different levels both survive (batched_nms level-offset trick,
+    reference layers/nms.py:16-43)."""
+    from cddmsl_tpu.ops.nms import nms
+
+    bx = jnp.asarray([[0, 0, 10, 10], [0, 0, 10, 10]], jnp.float32)
+    sc = jnp.asarray([0.9, 0.8], jnp.float32)
+    lv = jnp.asarray([0, 1], jnp.int32)
+    off = lv.astype(jnp.float32)[:, None] * 101.0
+    idx, valid = nms(bx + off, sc, 0.5, 2, valid=jnp.asarray([True, True]))
+    assert int(valid.sum()) == 2
+    # same level -> the lower-scored duplicate IS suppressed
+    idx, valid = nms(bx, sc, 0.5, 2, valid=jnp.asarray([True, True]))
+    assert int(valid.sum()) == 1
+
+
+@pytest.fixture(scope="module")
+def fpn_setup():
+    cfg = _tiny_cfg("COCO-InstanceSegmentation/mask_rcnn_R_50_FPN_1x.yaml")
+    model = build_model(cfg)
+    batch = _batch(with_masks=True)
+    rng = jax.random.PRNGKey(0)
+    params = model.init({"params": rng}, batch, rng, method=model.init_all)
+    return cfg, model, params, batch
+
+
+def test_fpn_train_losses(fpn_setup):
+    cfg, model, params, batch = fpn_setup
+    losses = model.apply(params, batch, jax.random.PRNGKey(1))
+    for k in ("loss_rpn_cls", "loss_rpn_loc", "loss_cls", "loss_box_reg", "loss_mask"):
+        assert k in losses, (k, list(losses))
+        assert np.isfinite(float(losses[k])), (k, float(losses[k]))
+
+
+def test_fpn_trainer_protocol(fpn_setup):
+    """cddmsl_losses ignores the caption gates -> plugs into make_train_step."""
+    cfg, model, params, batch = fpn_setup
+    from cddmsl_tpu.engine import TrainState, make_train_step
+    from cddmsl_tpu.solver import build_optimizer
+
+    optimizer = build_optimizer(cfg, params)
+    state = TrainState.create(params, optimizer)
+    step = make_train_step(model, optimizer, enable_caption=False, donate=False)
+    new_state, metrics = step(state, batch, jax.random.PRNGKey(2))
+    assert np.isfinite(float(metrics["total_loss"]))
+    moved = any(
+        bool(np.any(np.asarray(a) != np.asarray(b)))
+        for a, b in zip(
+            jax.tree_util.tree_leaves(state.params),
+            jax.tree_util.tree_leaves(new_state.params),
+        )
+    )
+    assert moved
+
+
+def test_fpn_inference(fpn_setup):
+    cfg, model, params, batch = fpn_setup
+    from cddmsl_tpu.engine import make_eval_step
+
+    det = jax.device_get(make_eval_step(model)(params, batch))
+    B, D = det.boxes.shape[:2]
+    assert B == 2 and D == cfg.TEST.DETECTIONS_PER_IMAGE
+    assert det.masks is not None and det.masks.shape[:2] == (B, D)
+    # postprocess rescaled into the 2x original frame
+    keep = np.asarray(det.valid)
+    if keep.any():
+        bx = np.asarray(det.boxes)[keep]
+        assert (bx[:, 2] <= 2 * 96 + 1e-3).all() and (bx[:, 3] <= 2 * 64 + 1e-3).all()
