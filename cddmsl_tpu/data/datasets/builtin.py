@@ -100,15 +100,16 @@ def register_all(root: str = None) -> None:
             os.path.join(root, "coco", f"{split}2017"),
         )
 
-    # ---- LVIS v1 (reference builtin.py register_all_lvis) ----
+    # ---- LVIS v1 + v0.5 (reference builtin.py register_all_lvis) ----
     from .lvis import register_lvis_instances
 
-    for split in ("train", "val"):
-        register_lvis_instances(
-            f"lvis_v1_{split}",
-            os.path.join(root, "lvis", f"lvis_v1_{split}.json"),
-            os.path.join(root, "coco"),  # LVIS images live in the COCO dirs
-        )
+    for version in ("v1", "v0.5"):
+        for split in ("train", "val"):
+            register_lvis_instances(
+                f"lvis_{version}_{split}",
+                os.path.join(root, "lvis", f"lvis_{version}_{split}.json"),
+                os.path.join(root, "coco"),  # LVIS images live in the COCO dirs
+            )
 
     # ---- reference-named cityscapes instance-seg aliases (builtin.py
     # register_all_cityscapes: cityscapes_fine_instance_seg_{train,val}) ----

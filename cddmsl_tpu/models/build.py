@@ -133,6 +133,8 @@ def build_fpn_rcnn(cfg):
         rpn_post_nms_topk=(cfg.MODEL.RPN.POST_NMS_TOPK_TRAIN, cfg.MODEL.RPN.POST_NMS_TOPK_TEST),
         rpn_nms_thresh=cfg.MODEL.RPN.NMS_THRESH,
         rpn_loss_weight=cfg.MODEL.RPN.LOSS_WEIGHT,
+        rpn_smooth_l1_beta=cfg.MODEL.RPN.SMOOTH_L1_BETA,
+        roi_smooth_l1_beta=cfg.MODEL.ROI_BOX_HEAD.SMOOTH_L1_BETA,
         roi_batch_size_per_image=cfg.MODEL.ROI_HEADS.BATCH_SIZE_PER_IMAGE,
         roi_positive_fraction=cfg.MODEL.ROI_HEADS.POSITIVE_FRACTION,
         fc_dim=cfg.MODEL.ROI_BOX_HEAD.FC_DIM,

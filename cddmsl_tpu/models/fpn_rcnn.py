@@ -41,6 +41,8 @@ class FPNRCNN(nn.Module):
     rpn_post_nms_topk: Tuple[int, int] = (1000, 1000)
     rpn_nms_thresh: float = 0.7
     rpn_loss_weight: float = 1.0
+    rpn_smooth_l1_beta: float = 0.0
+    roi_smooth_l1_beta: float = 0.0
     # RoI heads
     roi_batch_size_per_image: int = 512
     roi_positive_fraction: float = 0.25
@@ -87,6 +89,7 @@ class FPNRCNN(nn.Module):
             post_nms_topk_test=self.rpn_post_nms_topk[1],
             nms_thresh=self.rpn_nms_thresh,
             loss_weight=self.rpn_loss_weight,
+            smooth_l1_beta=self.rpn_smooth_l1_beta,
             dtype=self.dtype,
         )
         self.roi_heads = CLIPStandardROIHeads(
@@ -104,6 +107,7 @@ class FPNRCNN(nn.Module):
             mask_num_conv=self.mask_num_conv,
             mask_conv_dim=self.mask_conv_dim,
             mask_canvas_stride=self.mask_canvas_stride,
+            smooth_l1_beta=self.roi_smooth_l1_beta,
             dtype=self.dtype,
         )
 

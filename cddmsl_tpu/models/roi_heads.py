@@ -358,6 +358,7 @@ class CLIPStandardROIHeads(nn.Module):
     mask_num_conv: int = 4
     mask_conv_dim: int = 256
     mask_canvas_stride: float = 4.0
+    smooth_l1_beta: float = 0.0  # ROI_BOX_HEAD.SMOOTH_L1_BETA (0 = L1)
     dtype: Any = jnp.float32
 
     def setup(self):
@@ -418,6 +419,7 @@ class CLIPStandardROIHeads(nn.Module):
                 scores, deltas, boxes.reshape(b * s, 4), matched_gt.reshape(b * s, 4),
                 classes.reshape(b * s), valid.reshape(b * s),
                 self.num_classes, self.box2box,
+                smooth_l1_beta=self.smooth_l1_beta,
             )
             if self.mask_on:
                 assert gt_masks is not None, "MASK_ON training needs gt_masks"

@@ -67,9 +67,18 @@ def test_build_dispatch_mask_fpn():
         "COCO-InstanceSegmentation/mask_rcnn_R_50_FPN_1x.yaml",
         "Cityscapes/mask_rcnn_R_50_FPN.yaml",
         "LVISv1-InstanceSegmentation/mask_rcnn_R_50_FPN_1x.yaml",
+        "LVISv0.5-InstanceSegmentation/mask_rcnn_R_50_FPN_1x.yaml",
     ):
         model = build_model(_tiny_cfg(rel))
         assert type(model).__name__ == "FPNRCNN" and model.mask_on, rel
+
+
+def test_detectron1_comparison_config_builds():
+    cfg = _tiny_cfg("Detectron1-Comparisons/faster_rcnn_R_50_FPN_noaug_1x.yaml")
+    model = build_model(cfg)
+    assert type(model).__name__ == "FPNRCNN" and not model.mask_on
+    assert cfg.MODEL.RPN.SMOOTH_L1_BETA == 0.1111
+    assert list(cfg.INPUT.MIN_SIZE_TRAIN) == [800]  # no scale aug
 
 
 def test_pascal_voc_configs_build():
