@@ -144,6 +144,9 @@ def build_fpn_rcnn(cfg):
         mask_num_conv=cfg.MODEL.ROI_MASK_HEAD.NUM_CONV,
         mask_conv_dim=cfg.MODEL.ROI_MASK_HEAD.CONV_DIM,
         mask_canvas_stride=float(cfg.TPU.MASK_CANVAS_STRIDE),
+        keypoint_on=cfg.MODEL.KEYPOINT_ON,
+        num_keypoints=cfg.MODEL.ROI_KEYPOINT_HEAD.NUM_KEYPOINTS,
+        keypoint_conv_dims=tuple(cfg.MODEL.ROI_KEYPOINT_HEAD.CONV_DIMS),
         use_text_emb=cfg.MODEL.CLIP.USE_TEXT_EMB_CLASSIFIER,
         temperature=cfg.MODEL.CLIP.CLSS_TEMP,
         pixel_mean=tuple(cfg.MODEL.PIXEL_MEAN),

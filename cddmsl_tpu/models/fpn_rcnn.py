@@ -53,6 +53,9 @@ class FPNRCNN(nn.Module):
     mask_num_conv: int = 4
     mask_conv_dim: int = 256
     mask_canvas_stride: float = 4.0
+    keypoint_on: bool = False
+    num_keypoints: int = 17
+    keypoint_conv_dims: Sequence[int] = (512,) * 8
     use_text_emb: bool = False
     emb_dim: int = 1024
     temperature: float = 0.01
@@ -108,6 +111,9 @@ class FPNRCNN(nn.Module):
             mask_conv_dim=self.mask_conv_dim,
             mask_canvas_stride=self.mask_canvas_stride,
             smooth_l1_beta=self.roi_smooth_l1_beta,
+            keypoint_on=self.keypoint_on,
+            num_keypoints=self.num_keypoints,
+            keypoint_conv_dims=tuple(self.keypoint_conv_dims),
             dtype=self.dtype,
         )
 
@@ -136,6 +142,7 @@ class FPNRCNN(nn.Module):
             head_levels, proposals, batch.image_sizes, training=True,
             gt_boxes=batch.gt_boxes, gt_classes=batch.gt_classes,
             gt_valid=batch.gt_valid, gt_masks=batch.gt_masks if self.mask_on else None,
+            gt_keypoints=batch.gt_keypoints if self.keypoint_on else None,
             rng=k2,
         )
         return {**rpn_losses, **det_losses}
@@ -172,4 +179,11 @@ class FPNRCNN(nn.Module):
             boxes = detections.boxes * sxy[:, None, :]
             boxes = jax.vmap(lambda bx, hw: box_ops.clip(bx, (hw[0], hw[1])))(boxes, batch.orig_sizes)
             detections = detections._replace(boxes=boxes)
+            if detections.keypoints is not None:
+                kxy = detections.keypoints[..., :2] * jnp.stack(
+                    [scale[:, 1], scale[:, 0]], axis=-1
+                )[:, None, None, :]
+                detections = detections._replace(
+                    keypoints=jnp.concatenate([kxy, detections.keypoints[..., 2:]], axis=-1)
+                )
         return detections

@@ -128,16 +128,25 @@ class KeypointROIHeads(nn.Module):
         """boxes (B,D,4) -> (B, D, K, 3) decoded (x, y, score)."""
         b, d = boxes.shape[:2]
         heat = self.keypoint_head(self._pool(features, boxes))  # (B*D, S2, S2, K)
-        n, size, _, k = heat.shape
-        flat = heat.reshape(n, size * size, k)
-        idx = jnp.argmax(flat, axis=1)  # (N, K)
-        score = jax.nn.softmax(flat, axis=1)
-        score = jnp.take_along_axis(score, idx[:, None, :], axis=1)[:, 0, :]
-        ky, kx = idx // size, idx % size
-        bx = boxes.reshape(n, 4)
-        x1, y1 = bx[:, 0:1], bx[:, 1:2]
-        w = jnp.maximum(bx[:, 2:3] - x1, 1e-4)
-        h = jnp.maximum(bx[:, 3:4] - y1, 1e-4)
-        px = x1 + (kx + 0.5) * w / size
-        py = y1 + (ky + 0.5) * h / size
-        return jnp.stack([px, py, score], axis=-1).reshape(b, d, k, 3)
+        return decode_keypoint_heatmaps(heat, boxes)
+
+
+def decode_keypoint_heatmaps(heat: jnp.ndarray, boxes: jnp.ndarray) -> jnp.ndarray:
+    """(B*D, S2, S2, K) heatmaps + (B, D, 4) boxes -> (B, D, K, 3) decoded
+    (x, y, score): static-shape argmax decode mapping bin centers back to
+    image coords (reference structures/keypoints.py heatmaps_to_keypoints;
+    granularity deviation documented in the module docstring)."""
+    b, d = boxes.shape[:2]
+    n, size, _, k = heat.shape
+    flat = heat.reshape(n, size * size, k)
+    idx = jnp.argmax(flat, axis=1)  # (N, K)
+    score = jax.nn.softmax(flat, axis=1)
+    score = jnp.take_along_axis(score, idx[:, None, :], axis=1)[:, 0, :]
+    ky, kx = idx // size, idx % size
+    bx = boxes.reshape(n, 4)
+    x1, y1 = bx[:, 0:1], bx[:, 1:2]
+    w = jnp.maximum(bx[:, 2:3] - x1, 1e-4)
+    h = jnp.maximum(bx[:, 3:4] - y1, 1e-4)
+    px = x1 + (kx + 0.5) * w / size
+    py = y1 + (ky + 0.5) * h / size
+    return jnp.stack([px, py, score], axis=-1).reshape(b, d, k, 3)

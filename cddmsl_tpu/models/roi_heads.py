@@ -32,7 +32,12 @@ from .fast_rcnn import (
     fast_rcnn_inference_single_image,
     fast_rcnn_losses,
 )
-from .keypoint_head import KeypointROIHeads
+from .keypoint_head import (
+    KeypointROIHeads,
+    KRCNNConvDeconvUpsampleHead,
+    decode_keypoint_heatmaps,
+    keypoint_rcnn_loss,
+)
 from .mask_head import MaskRCNNConvUpsampleHead, crop_mask_targets, mask_rcnn_inference, mask_rcnn_loss
 from .matcher import Matcher
 from .rpn import Proposals
@@ -359,6 +364,12 @@ class CLIPStandardROIHeads(nn.Module):
     mask_conv_dim: int = 256
     mask_canvas_stride: float = 4.0
     smooth_l1_beta: float = 0.0  # ROI_BOX_HEAD.SMOOTH_L1_BETA (0 = L1)
+    # FPN keypoint branch (reference StandardROIHeads _forward_keypoint with
+    # a 14^2 p2-p5 pooler + KRCNNConvDeconvUpsampleHead; MODEL.KEYPOINT_ON)
+    keypoint_on: bool = False
+    num_keypoints: int = 17
+    keypoint_conv_dims: Sequence[int] = (512,) * 8
+    keypoint_pooler_resolution: int = 14
     dtype: Any = jnp.float32
 
     def setup(self):
@@ -375,6 +386,15 @@ class CLIPStandardROIHeads(nn.Module):
                 num_classes=self.num_classes,
                 num_conv=self.mask_num_conv,
                 conv_dim=self.mask_conv_dim,
+                dtype=self.dtype,
+            )
+        if self.keypoint_on:
+            self.kp_pooler = ROIPooler(
+                self.keypoint_pooler_resolution, self.pooler_scales, sampling_ratio=0, min_level=2
+            )
+            self.kp_head = KRCNNConvDeconvUpsampleHead(
+                num_keypoints=self.num_keypoints,
+                conv_dims=tuple(self.keypoint_conv_dims),
                 dtype=self.dtype,
             )
         self.box_head_fc1 = nn.Dense(self.fc_dim, dtype=self.dtype, param_dtype=jnp.float32)
@@ -406,8 +426,17 @@ class CLIPStandardROIHeads(nn.Module):
         )
         return pooled.reshape(b * s, self.mask_pooler_resolution, self.mask_pooler_resolution, -1)
 
+    def _kp_pool(self, fpn_feats, boxes):
+        b, s = boxes.shape[:2]
+        pooled = jax.vmap(lambda *per_img: self.kp_pooler(list(per_img[:-1]), per_img[-1]))(
+            *fpn_feats, boxes
+        )
+        r = self.keypoint_pooler_resolution
+        return pooled.reshape(b * s, r, r, -1)
+
     def __call__(self, fpn_feats, proposals: Proposals, image_sizes, training: bool,
-                 gt_boxes=None, gt_classes=None, gt_valid=None, gt_masks=None, rng=None):
+                 gt_boxes=None, gt_classes=None, gt_valid=None, gt_masks=None,
+                 gt_keypoints=None, rng=None):
         if training:
             boxes, classes, matched_gt, valid, matched_idx = CLIPRes5ROIHeads.label_and_sample_proposals(
                 self, rng, proposals, gt_boxes, gt_classes, gt_valid
@@ -433,6 +462,17 @@ class CLIPStandardROIHeads(nn.Module):
                 losses["loss_mask"] = mask_rcnn_loss(
                     mask_logits, targets.reshape(b * s, m, m), flat_classes, fg
                 )
+            if self.keypoint_on:
+                assert gt_keypoints is not None, "KEYPOINT_ON training needs gt_keypoints"
+                kp = jax.vmap(lambda g, mi: g[mi])(gt_keypoints, matched_idx)  # (B,S,K,3)
+                heat = self.kp_head(self._kp_pool(fpn_feats, boxes))
+                size = heat.shape[1]
+                pos, vis = KeypointROIHeads.keypoints_to_heatmap_targets(
+                    kp.reshape(b * s, self.num_keypoints, 3), boxes.reshape(b * s, 4), size
+                )
+                flat_classes = classes.reshape(b * s)
+                fg = valid.reshape(b * s) & (flat_classes >= 0) & (flat_classes < self.num_classes)
+                losses["loss_keypoint"] = keypoint_rcnn_loss(heat, pos, vis & fg[:, None])
             return None, losses
         feats = self._box_features(fpn_feats, proposals.boxes)
         b, k = proposals.boxes.shape[:2]
@@ -455,4 +495,9 @@ class CLIPStandardROIHeads(nn.Module):
             m = mask_logits.shape[1]
             probs = mask_rcnn_inference(mask_logits, detections.classes.reshape(b * d))
             detections = detections._replace(masks=probs.reshape(b, d, m, m))
+        if self.keypoint_on:
+            heat = self.kp_head(self._kp_pool(fpn_feats, detections.boxes))
+            detections = detections._replace(
+                keypoints=decode_keypoint_heatmaps(heat, detections.boxes)
+            )
         return detections, {}

@@ -73,6 +73,42 @@ def test_build_dispatch_mask_fpn():
         assert type(model).__name__ == "FPNRCNN" and model.mask_on, rel
 
 
+def test_keypoint_fpn_e2e():
+    """Keypoint branch on the FPN heads (reference Base-Keypoint-RCNN-FPN):
+    loss on matched GT keypoints at train, decoded (x, y, score) keypoints
+    on the final boxes at inference, rescaled by postprocess."""
+    cfg = _tiny_cfg("COCO-Keypoints/keypoint_rcnn_R_50_FPN_1x.yaml")
+    cfg.MODEL.RPN.POST_NMS_TOPK_TRAIN = 64
+    model = build_model(cfg)
+    assert type(model).__name__ == "FPNRCNN" and model.keypoint_on
+
+    B, g, K = 2, 3, cfg.MODEL.ROI_KEYPOINT_HEAD.NUM_KEYPOINTS
+    base = _batch(g=g)
+    r = np.random.RandomState(1)
+    kp = np.zeros((B, g, K, 3), np.float32)
+    kp[..., 0] = r.uniform(10, 50, (B, g, K))
+    kp[..., 1] = r.uniform(10, 50, (B, g, K))
+    kp[..., 2] = 2.0
+    batch = base._replace(
+        gt_classes=np.zeros((B, g), np.int32),  # single 'person' class
+        gt_keypoints=jnp.asarray(kp),
+    )
+    rng = jax.random.PRNGKey(0)
+    params = model.init({"params": rng}, batch, rng, method=model.init_all)
+    losses = model.apply(params, batch, jax.random.PRNGKey(1))
+    assert "loss_keypoint" in losses and np.isfinite(float(losses["loss_keypoint"]))
+
+    det = jax.device_get(model.apply(params, batch, method=model.inference))
+    D = det.boxes.shape[1]
+    assert det.keypoints is not None and det.keypoints.shape == (B, D, K, 3)
+    keep = np.asarray(det.valid)
+    if keep.any():
+        k = np.asarray(det.keypoints)[keep]
+        assert np.isfinite(k).all()
+        # decoded coords rescaled into the 2x original frame
+        assert (k[..., 0] <= 2 * 96 + 1).all() and (k[..., 1] <= 2 * 64 + 1).all()
+
+
 def test_detectron1_comparison_config_builds():
     cfg = _tiny_cfg("Detectron1-Comparisons/faster_rcnn_R_50_FPN_noaug_1x.yaml")
     model = build_model(cfg)
