@@ -332,6 +332,14 @@ def get_default_cfg() -> CfgNode:
     # reduce-scatters gradients (parallel/fsdp.py). Composes with TP_RULES.
     _C.TPU.FSDP = False
     _C.TPU.FSDP_MIN_SIZE = 4096
+    # pipeline parallelism (GPipe, parallel/pp.py): name a mesh axis (e.g.
+    # 'pipe' with MESH_SHAPE=[dp, pp] + MESH_AXES=['data','pipe']) and the
+    # in-graph transformer stacks — the ClipCap V2L mapper inside the CDDMSL
+    # step and the CLIP text encoder inside the pretrain step — run as
+    # microbatched pipelines over it (block params sharded per stage,
+    # ppermute hops between stages). "" = off. Composes with DP/TP/SP.
+    _C.TPU.PIPELINE_AXIS = ""
+    _C.TPU.PIPELINE_MICROBATCHES = 0  # 0 = pipe-axis size
     _C.TPU.COMPUTE_DTYPE = "bfloat16"  # conv/matmul compute dtype
     _C.TPU.PARAM_DTYPE = "float32"
     # static-shape capacities (pad-and-mask discipline; SURVEY.md §7 point 1)

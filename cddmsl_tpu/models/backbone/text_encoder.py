@@ -72,7 +72,15 @@ class ResidualAttentionBlock(nn.Module):
 
 class CLIPTextEncoder(nn.Module):
     """The reference CLIPLangEncoder (clip_backbone.py:732-814): 12-layer
-    width-512 causal transformer over BPE tokens, EOT pooling to embed_dim."""
+    width-512 causal transformer over BPE tokens, EOT pooling to embed_dim.
+
+    setup()-style so the block stack can be pipelined: with `pipeline_axis`
+    set (and a mesh installed via jax.sharding.set_mesh carrying that axis),
+    the resblocks run as a GPipe pipeline over the axis
+    (parallel/pp.py pipeline_blocks) — per-block params stay under their
+    `resblocks_i` names (checkpoint layout unchanged); stacking happens
+    in-graph. The list attribute name `resblocks` auto-derives the same
+    `resblocks_{i}` param names the compact form used."""
 
     embed_dim: int = 1024
     context_length: int = 77
@@ -81,31 +89,65 @@ class CLIPTextEncoder(nn.Module):
     heads: int = 8
     layers: int = 12
     dtype: Any = jnp.float32
+    pipeline_axis: Optional[str] = None
+    pipeline_microbatches: Optional[int] = None
 
-    @nn.compact
-    def __call__(self, text: jnp.ndarray, only_eot: bool = True) -> jnp.ndarray:
-        """text: (N, context_length) int32 token ids -> (N, embed_dim) if
-        only_eot else (N, L, embed_dim)."""
-        tok_emb = self.param(
+    def setup(self):
+        self.token_embedding = self.param(
             "token_embedding", nn.initializers.normal(0.02), (self.vocab_size, self.width)
         )
-        pos_emb = self.param(
+        self.positional_embedding = self.param(
             "positional_embedding", nn.initializers.normal(0.01), (self.context_length, self.width)
         )
-        x = tok_emb[text].astype(self.dtype) + pos_emb[None].astype(self.dtype)
-        for i in range(self.layers):
-            x = ResidualAttentionBlock(
-                self.width, self.heads, dtype=self.dtype, name=f"resblocks_{i}"
-            )(x, causal=True)
-        x = nn.LayerNorm(dtype=jnp.float32, name="ln_final")(x)
-        proj = self.param(
+        self.resblocks = [
+            ResidualAttentionBlock(self.width, self.heads, dtype=self.dtype)
+            for _ in range(self.layers)
+        ]
+        self.ln_final = nn.LayerNorm(dtype=jnp.float32)
+        self.text_projection = self.param(
             "text_projection", nn.initializers.normal(self.width ** -0.5), (self.width, self.embed_dim)
         )
+
+    def embed(self, text: jnp.ndarray) -> jnp.ndarray:
+        return self.token_embedding[text].astype(self.dtype) + self.positional_embedding[
+            None
+        ].astype(self.dtype)
+
+    def finalize(self, x: jnp.ndarray, text: jnp.ndarray, only_eot: bool = True) -> jnp.ndarray:
+        x = self.ln_final(x)
         if only_eot:
             eot = jnp.argmax(text, axis=-1)  # EOT token has the highest id
             x = x[jnp.arange(x.shape[0]), eot]
-            return x @ proj
-        return x @ proj
+        return x @ self.text_projection
+
+    def __call__(self, text: jnp.ndarray, only_eot: bool = True) -> jnp.ndarray:
+        """text: (N, context_length) int32 token ids -> (N, embed_dim) if
+        only_eot else (N, L, embed_dim)."""
+        x = self.embed(text)
+        if self.pipeline_axis and not self.is_initializing():
+            from ...parallel.pp import ambient_mesh, pipeline_batch_spec, pipeline_blocks, stack_trees
+
+            mesh = ambient_mesh()
+            assert mesh is not None and self.pipeline_axis in mesh.axis_names, (
+                f"pipeline_axis={self.pipeline_axis!r} needs a set_mesh mesh carrying it"
+            )
+            stacked = stack_trees([b.variables["params"] for b in self.resblocks])
+            # parent=None detaches the template from this module's scope so
+            # applying it per-stage inside shard_map doesn't register a child
+            block = self.resblocks[0].clone(parent=None)
+            x = pipeline_blocks(
+                lambda bp, a: block.apply({"params": bp}, a, causal=True),
+                stacked,
+                x,
+                mesh,
+                axis=self.pipeline_axis,
+                microbatches=self.pipeline_microbatches,
+                batch_spec=pipeline_batch_spec(mesh),
+            )
+        else:
+            for blk in self.resblocks:
+                x = blk(x, causal=True)
+        return self.finalize(x, text, only_eot)
 
 
 class VisualTransformer(nn.Module):

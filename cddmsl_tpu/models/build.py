@@ -101,6 +101,8 @@ def build_generalized_rcnn(cfg) -> GeneralizedRCNN:
         backbone_remat=cfg.TPU.REMAT_BACKBONE,
         use_pallas_roi_align=cfg.TPU.PALLAS_ROI_ALIGN,
         roi_chunk_size=cfg.TPU.ROI_CHUNK_SIZE,
+        pipeline_axis=cfg.TPU.PIPELINE_AXIS or None,
+        pipeline_microbatches=cfg.TPU.PIPELINE_MICROBATCHES,
         dtype=_dtype(cfg),
     )
 
@@ -223,6 +225,8 @@ def build_pretrain_fast_rcnn(cfg):
         text_width=cfg.MODEL.CLIP.TEXT_WIDTH,
         text_heads=cfg.MODEL.CLIP.TEXT_HEADS,
         text_layers=cfg.MODEL.CLIP.TEXT_LAYERS,
+        pipeline_axis=cfg.TPU.PIPELINE_AXIS or None,
+        pipeline_microbatches=cfg.TPU.PIPELINE_MICROBATCHES,
         dtype=_dtype(cfg),
     )
 

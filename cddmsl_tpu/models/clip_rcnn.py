@@ -156,6 +156,10 @@ class PretrainFastRCNN(nn.Module):
     text_width: int = 512
     text_heads: int = 8
     text_layers: int = 12
+    # GPipe pipelining of the 12-block text tower (parallel/pp.py):
+    # mesh axis name; None/"" = off
+    pipeline_axis: Optional[str] = None
+    pipeline_microbatches: int = 0
     dtype: Any = jnp.float32
 
     def setup(self):
@@ -189,6 +193,8 @@ class PretrainFastRCNN(nn.Module):
             width=self.text_width,
             heads=self.text_heads,
             layers=self.text_layers,
+            pipeline_axis=self.pipeline_axis or None,
+            pipeline_microbatches=self.pipeline_microbatches or None,
             dtype=self.dtype,
         )
 

@@ -65,7 +65,14 @@ class ClipCapLayer(nn.Module):
 
 
 class TransformerMapper(nn.Module):
-    """clipcap.py:149-163. x: (B, dim_clip) -> (B, prefix_length, dim_embedding)."""
+    """clipcap.py:149-163. x: (B, dim_clip) -> (B, prefix_length, dim_embedding).
+
+    setup()-style so the 8 identical ClipCapLayers can run as a GPipe
+    pipeline over a 'pipe' mesh axis (parallel/pp.py) when `pipeline_axis`
+    is set — this puts pipeline parallelism inside the CDDMSL train step
+    itself (the mapper runs on every caption-consistency branch). The list
+    attribute `layers` auto-derives the same `layers_{i}` param names the
+    compact form used, so checkpoints are unaffected."""
 
     dim_clip: int = 1024
     dim_embedding: int = 768
@@ -74,22 +81,51 @@ class TransformerMapper(nn.Module):
     num_layers: int = 8
     num_heads: int = 8
     dtype: Any = jnp.float32
+    pipeline_axis: Optional[str] = None
+    pipeline_microbatches: Optional[int] = None
 
-    @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        b = x.shape[0]
-        tokens = nn.Dense(
-            self.clip_length * self.dim_embedding, dtype=self.dtype, param_dtype=jnp.float32, name="linear"
-        )(x.astype(self.dtype)).reshape(b, self.clip_length, self.dim_embedding)
-        prefix_const = self.param(
+    def setup(self):
+        self.linear = nn.Dense(
+            self.clip_length * self.dim_embedding, dtype=self.dtype, param_dtype=jnp.float32
+        )
+        self.prefix_const = self.param(
             "prefix_const", nn.initializers.normal(1.0), (self.prefix_length, self.dim_embedding)
         )
+        self.layers = [
+            ClipCapLayer(self.dim_embedding, self.num_heads, dtype=self.dtype)
+            for _ in range(self.num_layers)
+        ]
+
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        b = x.shape[0]
+        tokens = self.linear(x.astype(self.dtype)).reshape(b, self.clip_length, self.dim_embedding)
         seq = jnp.concatenate(
-            [tokens, jnp.broadcast_to(prefix_const.astype(self.dtype), (b, self.prefix_length, self.dim_embedding))],
+            [tokens, jnp.broadcast_to(self.prefix_const.astype(self.dtype), (b, self.prefix_length, self.dim_embedding))],
             axis=1,
         )
-        for i in range(self.num_layers):
-            seq = ClipCapLayer(self.dim_embedding, self.num_heads, dtype=self.dtype, name=f"layers_{i}")(seq)
+        if self.pipeline_axis and not self.is_initializing():
+            from ..parallel.pp import ambient_mesh, pipeline_batch_spec, pipeline_blocks, stack_trees
+
+            mesh = ambient_mesh()
+            assert mesh is not None and self.pipeline_axis in mesh.axis_names, (
+                f"pipeline_axis={self.pipeline_axis!r} needs a set_mesh mesh carrying it"
+            )
+            stacked = stack_trees([l.variables["params"] for l in self.layers])
+            # parent=None detaches the template from this module's scope so
+            # applying it per-stage inside shard_map doesn't register a child
+            block = self.layers[0].clone(parent=None)
+            seq = pipeline_blocks(
+                lambda bp, a: block.apply({"params": bp}, a),
+                stacked,
+                seq,
+                mesh,
+                axis=self.pipeline_axis,
+                microbatches=self.pipeline_microbatches,
+                batch_spec=pipeline_batch_spec(mesh),
+            )
+        else:
+            for layer in self.layers:
+                seq = layer(seq)
         return seq[:, self.clip_length :]
 
 

@@ -139,6 +139,10 @@ class GeneralizedRCNN(nn.Module):
     backbone_remat: bool = False
     use_pallas_roi_align: bool = False
     roi_chunk_size: int = 128
+    # GPipe pipeline parallelism for the V2L mapper stack (parallel/pp.py):
+    # mesh axis name carrying the pipeline stages; None/"" = off
+    pipeline_axis: Optional[str] = None
+    pipeline_microbatches: int = 0
     dtype: Any = jnp.float32
 
     def setup(self):
@@ -223,6 +227,8 @@ class GeneralizedRCNN(nn.Module):
             prefix_length=self.v2l_mapper_tokens,
             clip_length=self.v2l_mapper_tokens,
             num_layers=self.v2l_mapper_layers,
+            pipeline_axis=self.pipeline_axis or None,
+            pipeline_microbatches=self.pipeline_microbatches or None,
             dtype=self.dtype,
         )
         # trainable contrastive head (rcnn.py:95-99)
