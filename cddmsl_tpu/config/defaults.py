@@ -340,6 +340,18 @@ def get_default_cfg() -> CfgNode:
     # ppermute hops between stages). "" = off. Composes with DP/TP/SP.
     _C.TPU.PIPELINE_AXIS = ""
     _C.TPU.PIPELINE_MICROBATCHES = 0  # 0 = pipe-axis size
+    # expert parallelism (Switch/GShard MoE, parallel/ep.py): NUM_EXPERTS>0
+    # swaps the CDDMSL contrastive projector MLP for a top-1-routed mixture
+    # of NUM_EXPERTS expert MLPs (parameter count x E at constant per-token
+    # FLOPs), with the Switch load-balance aux loss added to the training
+    # objective. EXPERT_AXIS names the mesh axis that shards the expert
+    # params + compute ("" = dense, single-program MoE). Composes with
+    # DP/TP/PP/SP.
+    _C.TPU.MOE = CfgNode()
+    _C.TPU.MOE.NUM_EXPERTS = 0
+    _C.TPU.MOE.CAPACITY_FACTOR = 1.25
+    _C.TPU.MOE.EXPERT_AXIS = "model"
+    _C.TPU.MOE.AUX_WEIGHT = 0.01
     _C.TPU.COMPUTE_DTYPE = "bfloat16"  # conv/matmul compute dtype
     _C.TPU.PARAM_DTYPE = "float32"
     # static-shape capacities (pad-and-mask discipline; SURVEY.md §7 point 1)

@@ -103,6 +103,10 @@ def build_generalized_rcnn(cfg) -> GeneralizedRCNN:
         roi_chunk_size=cfg.TPU.ROI_CHUNK_SIZE,
         pipeline_axis=cfg.TPU.PIPELINE_AXIS or None,
         pipeline_microbatches=cfg.TPU.PIPELINE_MICROBATCHES,
+        moe_experts=cfg.TPU.MOE.NUM_EXPERTS,
+        moe_capacity_factor=cfg.TPU.MOE.CAPACITY_FACTOR,
+        moe_expert_axis=cfg.TPU.MOE.EXPERT_AXIS or None,
+        moe_aux_weight=cfg.TPU.MOE.AUX_WEIGHT,
         dtype=_dtype(cfg),
     )
 

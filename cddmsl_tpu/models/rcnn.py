@@ -143,6 +143,13 @@ class GeneralizedRCNN(nn.Module):
     # mesh axis name carrying the pipeline stages; None/"" = off
     pipeline_axis: Optional[str] = None
     pipeline_microbatches: int = 0
+    # Switch-MoE contrastive projector (parallel/ep.py, models/moe.py):
+    # >0 replaces the dense projector with that many routed expert MLPs;
+    # moe_expert_axis names the mesh axis sharding them (expert parallelism)
+    moe_experts: int = 0
+    moe_capacity_factor: float = 1.25
+    moe_expert_axis: Optional[str] = None
+    moe_aux_weight: float = 0.01
     dtype: Any = jnp.float32
 
     def setup(self):
@@ -231,8 +238,22 @@ class GeneralizedRCNN(nn.Module):
             pipeline_microbatches=self.pipeline_microbatches or None,
             dtype=self.dtype,
         )
-        # trainable contrastive head (rcnn.py:95-99)
-        self.projector = Projector(in_dim=768, dtype=self.dtype)
+        # trainable contrastive head (rcnn.py:95-99); optionally a Switch-MoE
+        # (TPU.MOE.NUM_EXPERTS > 0 — capability beyond the dense reference)
+        if self.moe_experts:
+            from .moe import MoEMLP
+
+            self.projector = MoEMLP(
+                num_experts=self.moe_experts,
+                in_dim=768,
+                hidden=768,
+                out_dim=256,
+                capacity_factor=self.moe_capacity_factor,
+                expert_axis=self.moe_expert_axis or None,
+                dtype=self.dtype,
+            )
+        else:
+            self.projector = Projector(in_dim=768, dtype=self.dtype)
         # image-consistency head (see module docstring: intended-behavior fix)
         self.image_projector = Projector(in_dim=self.embed_dim, dtype=self.dtype)
 
@@ -319,6 +340,16 @@ class GeneralizedRCNN(nn.Module):
     def _student_v2l(self, images224: jnp.ndarray) -> jnp.ndarray:
         return v2l(self.v2l_mapper(self.backbone.global_embed(images224)))
 
+    def _project(self, feats: jnp.ndarray, losses: Optional[Dict] = None) -> jnp.ndarray:
+        """Contrastive projector; when it is a MoE (moe_experts>0) the Switch
+        load-balance aux loss is accumulated into `losses`."""
+        if self.moe_experts:
+            y, aux = self.projector(feats)
+            if losses is not None:
+                losses["moe_aux"] = losses.get("moe_aux", 0.0) + self.moe_aux_weight * aux
+            return y
+        return self.projector(feats)
+
     def caption_consistency(self, batch: DetBatch, kd_regularization: bool = True):
         """Image-level language-domain InfoNCE (+ KD) (rcnn.py:255-319,413-421)."""
         src = self._v2l_preprocess(batch.image)
@@ -333,8 +364,8 @@ class GeneralizedRCNN(nn.Module):
             teacher = jax.lax.stop_gradient(teacher)
             losses["kd_loss"] = jnp.mean(jnp.abs(teacher.astype(jnp.float32) - feats_src.astype(jnp.float32)))
 
-        p_trgt = self.projector(feats_trgt)
-        p_src = self.projector(feats_src)
+        p_trgt = self._project(feats_trgt, losses)
+        p_src = self._project(feats_src, losses)
         losses["cont_loss"] = infonce_bidirectional(p_trgt, p_src)
         return losses
 
@@ -367,9 +398,11 @@ class GeneralizedRCNN(nn.Module):
         r_src, r_trgt = self.roi_heads.forward_get_features(
             f_src, f_trgt, boxes, self.backbone.res5_forward, self.backbone.attnpool_forward
         )
-        p_src = self.projector(v2l(self.v2l_mapper(r_src)))
-        p_trgt = self.projector(v2l(self.v2l_mapper(r_trgt)))
-        return {"cont_loss_region": infonce_bidirectional(p_src, p_trgt)}
+        losses = {}
+        p_src = self._project(v2l(self.v2l_mapper(r_src)), losses)
+        p_trgt = self._project(v2l(self.v2l_mapper(r_trgt)), losses)
+        losses["cont_loss_region"] = infonce_bidirectional(p_src, p_trgt)
+        return losses
 
     def image_consistency(self, batch: DetBatch):
         """rcnn.py:471-475 / image_contrastive :321-349 (intended behavior)."""
@@ -475,22 +508,31 @@ class GeneralizedRCNN(nn.Module):
             r_src, r_trgt = self.roi_heads.forward_get_features(
                 f_src, f_trgt, boxes, self.backbone.res5_forward, self.backbone.attnpool_forward
             )
-            p_src = self.projector(v2l(self.v2l_mapper(r_src)))
-            p_trgt = self.projector(v2l(self.v2l_mapper(r_trgt)))
+            aux = {}
+            p_src = self._project(v2l(self.v2l_mapper(r_src)), aux)
+            p_trgt = self._project(v2l(self.v2l_mapper(r_trgt)), aux)
+            moe_aux = jnp.asarray(
+                cc.get("moe_aux", 0.0) + aux.get("moe_aux", 0.0), jnp.float32
+            )
             return (
                 cc["cont_loss"],
                 cc.get("kd_loss", jnp.zeros(())),
                 infonce_bidirectional(p_src, p_trgt),
+                moe_aux,
             )
 
         def caption_off(_):
-            return jnp.zeros(()), jnp.zeros(()), jnp.zeros(())
+            return jnp.zeros(()), jnp.zeros(()), jnp.zeros(()), jnp.zeros(())
 
-        cont, kd, cont_region = jax.lax.cond(caption_on, caption_branches, caption_off, None)
+        cont, kd, cont_region, moe_aux = jax.lax.cond(
+            caption_on, caption_branches, caption_off, None
+        )
         losses["cont_loss"] = cont
         if kd_regularization:
             losses["kd_loss"] = kd
         losses["cont_loss_region"] = cont_region
+        if self.moe_experts:
+            losses["moe_aux"] = moe_aux
         return losses
 
     def __call__(self, batch: DetBatch, rng: jax.Array):

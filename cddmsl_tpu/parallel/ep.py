@@ -107,7 +107,12 @@ def moe_apply_ep(
     )
     e = dispatch.shape[1]
     assert e % mesh.shape[axis] == 0, f"{e} experts not divisible by {axis}={mesh.shape[axis]}"
-    bspec = P(batch_axis) if batch_axis in mesh.axis_names else P()
+    has_batch = batch_axis in mesh.axis_names
+    bspec = P(batch_axis) if has_batch else P()
+    # (N, E, C) dispatch/combine: N over the batch axis (if any), E over the
+    # expert axis — spelled explicitly so the no-batch-axis case doesn't
+    # slide the expert axis onto dim 0
+    dspec = P(batch_axis if has_batch else None, axis, None)
     param_specs = jax.tree_util.tree_map(lambda _: P(axis), stacked_params)
 
     def local_fn(params_shard, xloc, dloc, cloc):
@@ -124,7 +129,7 @@ def moe_apply_ep(
     fn = shard_map(
         local_fn,
         mesh=mesh,
-        in_specs=(param_specs, bspec, P(*bspec, axis, None), P(*bspec, axis, None)),
+        in_specs=(param_specs, bspec, dspec, dspec),
         out_specs=bspec,
     )
     return fn(stacked_params, x, dispatch, combine)

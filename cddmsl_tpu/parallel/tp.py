@@ -56,6 +56,10 @@ DEFAULT_TP_RULES: List[Tuple[str, Tuple[Any, ...]]] = [
     (r".*/layer4_\d+/conv1/kernel$", (None, None, None, "model")),
     (r".*/layer4_\d+/bn1/(weight|bias|running_mean|running_var)$", ("model",)),
     (r".*/layer4_\d+/conv2/kernel$", (None, None, "model", None)),
+    # MoE projector experts (models/moe.py, parallel/ep.py): leading E axis
+    # sharded = expert parallelism; router stays replicated
+    (r".*/projector/(w1|w2)$", ("model", None, None)),
+    (r".*/projector/(b1|b2)$", ("model", None)),
 ]
 
 
