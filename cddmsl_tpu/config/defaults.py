@@ -285,6 +285,13 @@ def get_default_cfg() -> CfgNode:
     _C.SOLVER.WARMUP_METHOD = "linear"
     _C.SOLVER.LR_SCHEDULER_NAME = "WarmupMultiStepLR"
     _C.SOLVER.CHECKPOINT_PERIOD = 5000
+    # keep at most this many periodic checkpoints on disk (0 = unlimited);
+    # the final model_final save is never GC'd
+    _C.SOLVER.CHECKPOINT_MAX_TO_KEEP = 0
+    # in-step gradient accumulation: IMS_PER_BATCH is split into this many
+    # sequential microbatches per optimizer step (activation memory is
+    # per-microbatch; no reference counterpart — DDP scales by adding GPUs)
+    _C.SOLVER.ACCUM_STEPS = 1
     _C.SOLVER.BIAS_LR_FACTOR = 1.0
     _C.SOLVER.REFERENCE_WORLD_SIZE = 0
     _C.SOLVER.CLIP_GRADIENTS = CfgNode()
@@ -352,6 +359,9 @@ def get_default_cfg() -> CfgNode:
     _C.TPU.MOE.CAPACITY_FACTOR = 1.25
     _C.TPU.MOE.EXPERT_AXIS = "model"
     _C.TPU.MOE.AUX_WEIGHT = 0.01
+    _C.TPU.ASYNC_CHECKPOINT = False  # orbax AsyncCheckpointer: save off the
+    # training thread (device_get happens synchronously; serialization +
+    # disk IO overlap subsequent steps)
     _C.TPU.COMPUTE_DTYPE = "bfloat16"  # conv/matmul compute dtype
     _C.TPU.PARAM_DTYPE = "float32"
     # static-shape capacities (pad-and-mask discipline; SURVEY.md §7 point 1)

@@ -262,6 +262,7 @@ class DefaultTrainer:
             kd_regularization=cfg.MODEL.KD_REGULRAZIATION,
             caption_burnup_iters=cfg.SOLVER.CAPTION_BURNUP_ITERS,
             lr_schedule=self.lr_schedule,
+            accum_steps=cfg.SOLVER.ACCUM_STEPS,
         )
         # open-set test head (reference fast_rcnn.py:466-475): evaluate with
         # a different (usually larger) class vocabulary whose text embeddings
@@ -280,7 +281,11 @@ class DefaultTrainer:
         else:
             self.eval_model = self.model
         self.eval_step = make_eval_step(self.eval_model)
-        self.checkpointer = DetectionCheckpointer(cfg.OUTPUT_DIR)
+        self.checkpointer = DetectionCheckpointer(
+            cfg.OUTPUT_DIR,
+            async_save=cfg.TPU.ASYNC_CHECKPOINT,
+            max_to_keep=cfg.SOLVER.CHECKPOINT_MAX_TO_KEEP,
+        )
         self.start_iter = 0
         self.max_iter = cfg.SOLVER.MAX_ITER
         self._data_loader = None
@@ -380,6 +385,7 @@ class DefaultTrainer:
                 caption_burnup_iters=cfg.SOLVER.CAPTION_BURNUP_ITERS,
                 lr_schedule=self.lr_schedule,
                 state_shardings=shardings,
+                accum_steps=cfg.SOLVER.ACCUM_STEPS,
             )
         elif "model" in self.mesh.axis_names:
             # tensor-parallel placement: rule-based PartitionSpecs on the
@@ -435,6 +441,7 @@ class DefaultTrainer:
                 h.after_train()
         self.state = jax.device_get(state)
         self.checkpointer.save("model_final", self.state)
+        self.checkpointer.wait_until_finished()  # drain any in-flight async save
         if not cfg.DATASETS.TEST:
             return {}
         results = self.test(cfg, self.state)

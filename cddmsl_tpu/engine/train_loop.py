@@ -51,6 +51,7 @@ def make_train_step(
     lr_schedule: Optional[Callable] = None,
     donate: bool = True,
     state_shardings: Optional[Any] = None,
+    accum_steps: int = 1,
 ) -> Callable[[TrainState, DetBatch, jax.Array], Tuple[TrainState, Dict[str, jnp.ndarray]]]:
     """Returns jitted (state, batch, rng) -> (state, metrics).
 
@@ -58,7 +59,21 @@ def make_train_step(
     parallel/fsdp.py fsdp_shardings) pins the OUTPUT state's layouts. FSDP
     needs this: without the constraint XLA may materialize updated params
     replicated, silently paying the memory FSDP exists to save and
-    triggering a recompile on the next call (input shardings changed)."""
+    triggering a recompile on the next call (input shardings changed).
+
+    `accum_steps` > 1 enables in-step gradient accumulation
+    (SOLVER.ACCUM_STEPS): the batch's leading dim is split into
+    `accum_steps` microbatches and a `lax.scan` accumulates grads/losses,
+    so activation memory is per-microbatch while the optimizer sees the
+    full-batch mean gradient — one logical iteration per call, so
+    `state.step`, the LR schedule, burn-up gating and all hooks are
+    unaffected. The reference has no counterpart (DDP scales by adding
+    GPUs); here it lets IMS_PER_BATCH exceed what HBM fits per step.
+    Note: losses that pool over the batch (the InfoNCE caption losses)
+    see microbatch-sized negative pools under accumulation — the standard
+    grad-accum semantics for contrastive objectives; the supervised
+    detection losses use content-independent normalizers (images x
+    sampler capacity) and decompose exactly."""
 
     def loss_fn(params, batch: DetBatch, rng: jax.Array, step: jnp.ndarray):
         losses = model.apply(
@@ -73,10 +88,48 @@ def make_train_step(
         total = jnp.sum(jnp.stack([v for v in losses.values()]))
         return total, losses
 
-    def train_step(state: TrainState, batch: DetBatch, rng: jax.Array):
-        (total, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params, batch, rng, state.step
+    def grads_and_losses(state: TrainState, batch: DetBatch, rng: jax.Array):
+        if accum_steps <= 1:
+            (total, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                state.params, batch, rng, state.step
+            )
+            return total, losses, grads
+
+        def to_micro(x):
+            assert x.shape[0] % accum_steps == 0, (
+                f"batch dim {x.shape[0]} not divisible by accum_steps={accum_steps}"
+            )
+            return x.reshape((accum_steps, x.shape[0] // accum_steps) + x.shape[1:])
+
+        micro = jax.tree_util.tree_map(to_micro, batch)
+        rngs = jax.random.split(rng, accum_steps)
+        first_mb = jax.tree_util.tree_map(lambda x: x[0], micro)
+        _, loss_shapes = jax.eval_shape(loss_fn, state.params, first_mb, rng, state.step)
+
+        def body(carry, xs):
+            mb, r = xs
+            (t, ls), g = jax.value_and_grad(loss_fn, has_aux=True)(
+                state.params, mb, r, state.step
+            )
+            acc_t, acc_l, acc_g = carry
+            return (
+                acc_t + t,
+                jax.tree_util.tree_map(jnp.add, acc_l, ls),
+                jax.tree_util.tree_map(jnp.add, acc_g, g),
+            ), None
+
+        init = (
+            jnp.zeros((), jnp.float32),
+            jax.tree_util.tree_map(lambda s: jnp.zeros(s.shape, s.dtype), loss_shapes),
+            jax.tree_util.tree_map(jnp.zeros_like, state.params),
         )
+        (total, losses, grads), _ = jax.lax.scan(body, init, (micro, rngs))
+        inv = 1.0 / accum_steps
+        scale = lambda t: jax.tree_util.tree_map(lambda x: x * inv, t)
+        return total * inv, scale(losses), scale(grads)
+
+    def train_step(state: TrainState, batch: DetBatch, rng: jax.Array):
+        total, losses, grads = grads_and_losses(state, batch, rng)
         updates, new_opt_state = optimizer.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
         metrics = dict(losses)
