@@ -359,6 +359,11 @@ def get_default_cfg() -> CfgNode:
     _C.TPU.MOE.CAPACITY_FACTOR = 1.25
     _C.TPU.MOE.EXPERT_AXIS = "model"
     _C.TPU.MOE.AUX_WEIGHT = 0.01
+    # serving-path PTQ: evaluate with the res5 RoI stage quantized to int8
+    # (per-channel weights, absmax-calibrated per-tensor activations; the
+    # MXU runs s8xs8->s32 at ~1.8x the bf16 rate — quant/ptq.py)
+    _C.TPU.QUANT_EVAL = False
+    _C.TPU.QUANT_CALIB_BATCHES = 4
     _C.TPU.ASYNC_CHECKPOINT = False  # orbax AsyncCheckpointer: save off the
     # training thread (device_get happens synchronously; serialization +
     # disk IO overlap subsequent steps)

@@ -467,17 +467,56 @@ class DefaultTrainer:
         if dp > 1:
             eval_bs = ((eval_bs + dp - 1) // dp) * dp
             place_fn = lambda b: shard_batch(b, self.mesh)
+        eval_step = self.eval_step
+        if cfg.TPU.QUANT_EVAL:
+            eval_step = self._build_quant_eval_step(cfg, params, eval_bs)
         results = {}
         for dataset_name in cfg.DATASETS.TEST:
             loader, n = build_detection_test_loader(cfg, dataset_name, batch_size=eval_bs)
             evaluator = build_evaluator(cfg, dataset_name)
             res = inference_on_dataset(
-                self.eval_step, params, loader, n, evaluator, place_fn=place_fn
+                eval_step, params, loader, n, evaluator, place_fn=place_fn
             )
             results[dataset_name] = res
             logger.info("Results on %s:", dataset_name)
             print_csv_format(res)
         return results
+
+    def _build_quant_eval_step(self, cfg, params, eval_bs):
+        """TPU.QUANT_EVAL: PTQ the res5 RoI stage (quant/ptq.py) — quantize
+        weights from the trained params and calibrate activation scales on
+        the first TPU.QUANT_CALIB_BATCHES batches of the FIRST test set
+        (representative serving distribution), then return the int8 eval
+        step. Only the clip-C4 tower has a layer4 crop stage; other archs
+        fall back to the fp step with a warning."""
+        from ..quant import calibrate_res5, merge_absmax, quantize_res5, scales_from_absmax
+        from .train_loop import make_calib_step, make_eval_step_quant
+
+        backbone = params["params"].get("backbone", {})
+        if not any(k.startswith("layer4_") for k in backbone):
+            logger.warning("TPU.QUANT_EVAL: no res5 crop stage in this arch; using fp eval")
+            return self.eval_step
+        calib_step = make_calib_step(self.eval_model)
+        loader, _n = build_detection_test_loader(cfg, cfg.DATASETS.TEST[0], batch_size=eval_bs)
+        calib = jax.jit(lambda crops: calibrate_res5(backbone, crops))
+        absmax = None
+        n_batches = 0
+        for batch, _metas in loader:
+            if n_batches >= max(1, cfg.TPU.QUANT_CALIB_BATCHES):
+                break
+            crops = calib_step(params, batch)
+            absmax = merge_absmax(absmax, jax.device_get(calib(crops)))
+            n_batches += 1
+        if absmax is None:
+            logger.warning("TPU.QUANT_EVAL: empty test loader; using fp eval")
+            return self.eval_step
+        qblocks = quantize_res5(backbone)
+        scales = scales_from_absmax(absmax)
+        logger.info(
+            "TPU.QUANT_EVAL: int8 res5 (%d blocks) calibrated on %d batch(es)",
+            len(qblocks), n_batches,
+        )
+        return make_eval_step_quant(self.eval_model, qblocks, scales)
 
     def _verify_final(self, results) -> None:
         """Golden-metric check (reference defaults.py:497-501 /

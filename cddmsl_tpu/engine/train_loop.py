@@ -158,6 +158,28 @@ def make_eval_step(model: GeneralizedRCNN):
     return jax.jit(eval_step)
 
 
+def make_eval_step_quant(model: GeneralizedRCNN, qblocks, act_scales):
+    """Jitted int8-res5 inference step (quant/ptq.py serving-path PTQ).
+    The quant pytrees are closed over as constants so XLA folds the weight
+    layout/dequant setup into the executable."""
+
+    def eval_step(params, batch: DetBatch):
+        return model.apply(
+            params, batch, True, (qblocks, act_scales), method=model.inference
+        )
+
+    return jax.jit(eval_step)
+
+
+def make_calib_step(model: GeneralizedRCNN):
+    """Jitted (params, batch) -> pooled res4 crops for PTQ calibration."""
+
+    def calib_step(params, batch: DetBatch):
+        return model.apply(params, batch, method=model.res5_calib_inputs)
+
+    return jax.jit(calib_step)
+
+
 def make_caption_pl_step(
     model: GeneralizedRCNN,
     caption_model,

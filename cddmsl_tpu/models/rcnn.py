@@ -309,14 +309,25 @@ class GeneralizedRCNN(nn.Module):
         )
         return {**det_losses, **rpn_losses}
 
-    def inference(self, batch: DetBatch, do_postprocess: bool = True) -> DetectionResult:
-        """Eval path (rcnn.py:690): backbone -> RPN -> RoI heads -> (rescale)."""
+    def inference(
+        self, batch: DetBatch, do_postprocess: bool = True, quant_res5=None
+    ) -> DetectionResult:
+        """Eval path (rcnn.py:690): backbone -> RPN -> RoI heads -> (rescale).
+
+        `quant_res5` = (qblocks, act_scales) from quant/ptq.py swaps the res5
+        RoI stage for its int8 form (serving-path PTQ; ~1.8x MXU rate)."""
         x = self._normalize(batch.image)
         features = self.backbone(x)["res4"]
         proposals, _ = self.proposal_generator(features, batch.image_sizes, training=False)
+        if quant_res5 is not None:
+            from ..quant import res5_forward_int8
+
+            res5_fn = lambda crops: res5_forward_int8(quant_res5[0], quant_res5[1], crops)
+        else:
+            res5_fn = self.backbone.res5_forward
         detections, _ = self.roi_heads(
             features, proposals, batch.image_sizes, training=False,
-            res5_fn=self.backbone.res5_forward,
+            res5_fn=res5_fn,
             attnpool_fn=self.backbone.attnpool_forward if self.use_text_emb else None,
         )
         if do_postprocess:
@@ -336,6 +347,15 @@ class GeneralizedRCNN(nn.Module):
                     keypoints=jnp.concatenate([kxy, detections.keypoints[..., 2:]], axis=-1)
                 )
         return detections
+
+    def res5_calib_inputs(self, batch: DetBatch) -> jnp.ndarray:
+        """Pooled res4 crops at eval proposals — the representative inputs
+        for quant/ptq.py activation calibration (the distribution the int8
+        res5 sees at serving time)."""
+        x = self._normalize(batch.image)
+        features = self.backbone(x)["res4"]
+        proposals, _ = self.proposal_generator(features, batch.image_sizes, training=False)
+        return self.roi_heads.pool(features, proposals.boxes)
 
     def _student_v2l(self, images224: jnp.ndarray) -> jnp.ndarray:
         return v2l(self.v2l_mapper(self.backbone.global_embed(images224)))
