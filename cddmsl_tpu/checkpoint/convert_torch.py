@@ -263,12 +263,35 @@ def convert_box_predictor(
 def convert_d2_resnet(sd: Dict[str, np.ndarray], src_prefix: str = "backbone.") -> Dict[str, Any]:
     """torch d2 ResNet ('backbone.stem.conv1.*', 'backbone.res2.0.conv1.*',
     shortcut/norm naming — reference modeling/backbone/resnet.py) -> flax
-    D2ResNet params (stem_conv1/stem_bn1, res{s}_{i} blocks)."""
+    D2ResNet params (stem_conv1/stem_bn1, res{s}_{i} blocks).
+
+    DCN blocks (DeformBottleneckBlock): the reference stores the deformable
+    3x3 as 'conv2.weight' + 'conv2_offset.{weight,bias}'; ours is the raw
+    param 'conv2_kernel' + the 'conv2_offset' conv module."""
+    # blocks that carry an offset conv hold their 3x3 as a raw kernel param
+    deform_blocks = {
+        m.group(1)
+        for key in sd
+        if key.startswith(src_prefix)
+        and (m := re.match(r"^(res\d\.\d+)\.conv2_offset\.", key[len(src_prefix):]))
+    }
     tree: Dict[str, Any] = {}
     for key, val in sd.items():
         if not key.startswith(src_prefix):
             continue
         k = key[len(src_prefix):]
+        m = re.match(r"^(res\d)\.(\d+)\.conv2_offset\.(weight|bias)$", k)
+        if m:
+            blk = f"{m.group(1)}_{m.group(2)}"
+            if m.group(3) == "weight":
+                _set(tree, (blk, "conv2_offset", "kernel"), _conv(val))
+            else:
+                _set(tree, (blk, "conv2_offset", "bias"), val)
+            continue
+        m = re.match(r"^(res\d)\.(\d+)\.conv2\.weight$", k)
+        if m and f"{m.group(1)}.{m.group(2)}" in deform_blocks:
+            _set(tree, (f"{m.group(1)}_{m.group(2)}", "conv2_kernel"), _conv(val))
+            continue
         m = re.match(r"^stem\.conv1\.weight$", k)
         if m:
             _set(tree, ("stem_conv1", "kernel"), _conv(val))

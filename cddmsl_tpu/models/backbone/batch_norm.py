@@ -91,3 +91,28 @@ def update_bn_stats(apply_fn, variables, batches, momentum: float = 0.9):
     new_vars = dict(variables)
     new_vars["batch_stats"] = mean_stats
     return new_vars
+
+
+class GroupNorm32(nn.Module):
+    """GroupNorm with the reference's get_norm("GN") settings (32 groups,
+    detectron2/layers/batch_norm.py get_norm) and torch-style param names
+    (weight/bias) so checkpoint converters map GN layers the same way as BN.
+    """
+
+    features: int
+    num_groups: int = 32
+    eps: float = 1e-5
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        weight = self.param("weight", nn.initializers.ones, (self.features,))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        g = min(self.num_groups, self.features)
+        shape = x.shape
+        xf = x.astype(jnp.float32).reshape(shape[:-1] + (g, self.features // g))
+        red = tuple(range(1, xf.ndim - 2)) + (xf.ndim - 1,)
+        mean = jnp.mean(xf, axis=red, keepdims=True)
+        var = jnp.mean(jnp.square(xf - mean), axis=red, keepdims=True)
+        xf = (xf - mean) * jax.lax.rsqrt(var + self.eps)
+        return (xf.reshape(shape) * weight + bias).astype(self.dtype)

@@ -13,7 +13,19 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from ...ops.deform_conv import deform_conv2d
+from .batch_norm import GroupNorm32
 from .clip_resnet import FrozenBatchNorm, _avg_pool, _conv
+
+
+def _make_norm(norm: str, features: int, dtype, name: str):
+    """reference layers/batch_norm.py get_norm subset: FrozenBN (the CDDMSL
+    default — also stands in for eval-mode "BN") or GN (32 groups)."""
+    if norm in ("FrozenBN", "BN", ""):
+        return FrozenBatchNorm(features, dtype=dtype, name=name)
+    if norm == "GN":
+        return GroupNorm32(features, dtype=dtype, name=name)
+    raise ValueError(f"unsupported RESNETS.NORM {norm!r} (FrozenBN/BN/GN)")
 
 D2_RESNET_SPECS = {
     10: [1, 1, 1, 1],  # compile-light test depth (not in the reference table)
@@ -26,38 +38,75 @@ D2_RESNET_SPECS = {
 
 
 class D2Bottleneck(nn.Module):
-    """reference resnet.py BottleneckBlock."""
+    """reference resnet.py BottleneckBlock (+DeformBottleneckBlock when
+    `deform`): 1x1 -> 3x3 (grouped for ResNeXt via NUM_GROUPS, deformable
+    v1/v2 for the DCN configs) -> 1x1, norm FrozenBN or GN."""
 
     bottleneck_channels: int
     out_channels: int
     stride: int = 1
     stride_in_1x1: bool = True
     dilation: int = 1
+    num_groups: int = 1
+    norm: str = "FrozenBN"
+    deform: bool = False
+    deform_modulated: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         s1, s3 = (self.stride, 1) if self.stride_in_1x1 else (1, self.stride)
         out = _conv(self.bottleneck_channels, 1, stride=s1, dtype=self.dtype, name="conv1")(x)
-        out = nn.relu(FrozenBatchNorm(self.bottleneck_channels, dtype=self.dtype, name="bn1")(out))
-        out = nn.Conv(
-            self.bottleneck_channels,
-            (3, 3),
-            strides=(s3, s3),
-            padding=[(self.dilation, self.dilation)] * 2,
-            kernel_dilation=(self.dilation, self.dilation),
-            use_bias=False,
-            dtype=self.dtype,
-            param_dtype=jnp.float32,
-            name="conv2",
-        )(out)
-        out = nn.relu(FrozenBatchNorm(self.bottleneck_channels, dtype=self.dtype, name="bn2")(out))
+        out = nn.relu(_make_norm(self.norm, self.bottleneck_channels, self.dtype, "bn1")(out))
+        if self.deform:
+            # reference resnet.py DeformBottleneckBlock: offsets (+mask for
+            # v2) predicted by a zero-init regular conv at conv2's stride, so
+            # the block IS a plain conv block at init (the init-parity test
+            # oracle); grouped deform convs are not supported (the reference
+            # DCN configs all use NUM_GROUPS=1)
+            assert self.num_groups == 1, "deform conv with NUM_GROUPS>1 unsupported"
+            off_ch = (3 if self.deform_modulated else 2) * 9
+            off = nn.Conv(
+                off_ch, (3, 3), strides=(s3, s3),
+                padding=[(self.dilation, self.dilation)] * 2,
+                kernel_dilation=(self.dilation, self.dilation),
+                kernel_init=nn.initializers.zeros, bias_init=nn.initializers.zeros,
+                dtype=self.dtype, param_dtype=jnp.float32, name="conv2_offset",
+            )(out)
+            kernel = self.param(
+                "conv2_kernel",
+                nn.initializers.variance_scaling(2.0, "fan_out", "truncated_normal"),
+                (3, 3, self.bottleneck_channels, self.bottleneck_channels),
+            )
+            off = off.astype(jnp.float32)
+            if self.deform_modulated:
+                offsets, mask = off[..., : 2 * 9], jax.nn.sigmoid(off[..., 2 * 9 :])
+            else:
+                offsets, mask = off, None
+            out = deform_conv2d(
+                out.astype(jnp.float32), offsets, kernel, mask=mask,
+                stride=s3, padding=self.dilation, dilation=self.dilation,
+            ).astype(self.dtype)
+        else:
+            out = nn.Conv(
+                self.bottleneck_channels,
+                (3, 3),
+                strides=(s3, s3),
+                padding=[(self.dilation, self.dilation)] * 2,
+                kernel_dilation=(self.dilation, self.dilation),
+                feature_group_count=self.num_groups,
+                use_bias=False,
+                dtype=self.dtype,
+                param_dtype=jnp.float32,
+                name="conv2",
+            )(out)
+        out = nn.relu(_make_norm(self.norm, self.bottleneck_channels, self.dtype, "bn2")(out))
         out = _conv(self.out_channels, 1, dtype=self.dtype, name="conv3")(out)
-        out = FrozenBatchNorm(self.out_channels, dtype=self.dtype, name="bn3")(out)
+        out = _make_norm(self.norm, self.out_channels, self.dtype, "bn3")(out)
 
         if self.stride > 1 or x.shape[-1] != self.out_channels:
             sc = _conv(self.out_channels, 1, stride=self.stride, dtype=self.dtype, name="shortcut")(x)
-            sc = FrozenBatchNorm(self.out_channels, dtype=self.dtype, name="shortcut_bn")(sc)
+            sc = _make_norm(self.norm, self.out_channels, self.dtype, "shortcut_bn")(sc)
         else:
             sc = x
         return nn.relu(out + sc)
@@ -89,7 +138,11 @@ class D2ResNet(nn.Module):
     out_features: Sequence[str] = ("res4",)
     stride_in_1x1: bool = True
     res5_dilation: int = 1
+    num_groups: int = 1  # ResNeXt cardinality (RESNETS.NUM_GROUPS)
     width_per_group: int = 64
+    norm: str = "FrozenBN"  # RESNETS.NORM: FrozenBN/BN/GN
+    deform_on_per_stage: Sequence[bool] = (False, False, False, False)
+    deform_modulated: bool = False
     stem_out_channels: int = 64
     res2_out_channels: int = 256
     dtype: Any = jnp.float32
@@ -105,11 +158,13 @@ class D2ResNet(nn.Module):
             self.stem_out_channels, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)],
             use_bias=False, dtype=d, param_dtype=jnp.float32, name="stem_conv1",
         )
-        self._stem_bn = FrozenBatchNorm(self.stem_out_channels, dtype=d, name="stem_bn1")
+        self._stem_bn = _make_norm(self.norm, self.stem_out_channels, d, "stem_bn1")
         blocks = D2_RESNET_SPECS[self.depth]
         basic = self.use_basic_block
         out_ch = 64 if basic else self.res2_out_channels
-        bottleneck_ch = self.width_per_group
+        # reference resnet.py build_resnet_backbone: bottleneck width =
+        # NUM_GROUPS * WIDTH_PER_GROUP (64 for R50, 32*8=256 for X101_32x8d)
+        bottleneck_ch = self.num_groups * self.width_per_group
         stages = {}
         for stage_idx, (name, n_blocks) in enumerate(
             zip(("res2", "res3", "res4", "res5"), blocks)
@@ -134,6 +189,10 @@ class D2ResNet(nn.Module):
                         stride=stride if b == 0 else 1,
                         stride_in_1x1=self.stride_in_1x1,
                         dilation=dilation,
+                        num_groups=self.num_groups,
+                        norm=self.norm,
+                        deform=bool(self.deform_on_per_stage[stage_idx]),
+                        deform_modulated=self.deform_modulated,
                         dtype=d,
                         name=f"{name}_{b}",
                     ))
@@ -173,7 +232,9 @@ class D2ResNet(nn.Module):
 
     @property
     def out_feature_strides(self):
-        return {"stem": 4, "res2": 4, "res3": 8, "res4": 16, "res5": 32}
+        # res5 keeps stride 16 under RES5_DILATION=2 (the DC5 family)
+        res5 = 16 if self.res5_dilation > 1 else 32
+        return {"stem": 4, "res2": 4, "res3": 8, "res4": 16, "res5": res5}
 
 
 class FPN(nn.Module):
@@ -185,14 +246,24 @@ class FPN(nn.Module):
     out_channels: int = 256
     fuse_type: str = "sum"
     top_block_p6: bool = True
+    norm: str = ""  # MODEL.FPN.NORM ("" or "GN"; convs drop bias when set)
     dtype: Any = jnp.float32
+
+    def _norm(self, x, name):
+        if self.norm == "GN":
+            return GroupNorm32(self.out_channels, dtype=self.dtype, name=name)(x)
+        return x
 
     @nn.compact
     def __call__(self, bottom_up: Dict[str, jnp.ndarray]) -> Dict[str, jnp.ndarray]:
         feats = [bottom_up[f] for f in self.in_features]
         laterals = [
-            nn.Conv(self.out_channels, (1, 1), dtype=self.dtype, param_dtype=jnp.float32,
-                    name=f"lateral_{f}")(x.astype(self.dtype))
+            self._norm(
+                nn.Conv(self.out_channels, (1, 1), use_bias=(self.norm == ""),
+                        dtype=self.dtype, param_dtype=jnp.float32,
+                        name=f"lateral_{f}")(x.astype(self.dtype)),
+                f"lateral_{f}_gn",
+            )
             for f, x in zip(self.in_features, feats)
         ]
         # top-down pathway
@@ -209,10 +280,14 @@ class FPN(nn.Module):
         outputs = {}
         for i, (f, r) in enumerate(zip(self.in_features, results)):
             p_name = f"p{i + 2}"
-            outputs[p_name] = nn.Conv(
-                self.out_channels, (3, 3), padding=1, dtype=self.dtype, param_dtype=jnp.float32,
-                name=f"output_{f}",
-            )(r)
+            outputs[p_name] = self._norm(
+                nn.Conv(
+                    self.out_channels, (3, 3), padding=1, use_bias=(self.norm == ""),
+                    dtype=self.dtype, param_dtype=jnp.float32,
+                    name=f"output_{f}",
+                )(r),
+                f"output_{f}_gn",
+            )
         if self.top_block_p6:
             last = outputs[f"p{len(self.in_features) + 1}"]
             outputs[f"p{len(self.in_features) + 2}"] = nn.max_pool(

@@ -157,7 +157,21 @@ def build_fpn_rcnn(cfg):
         temperature=cfg.MODEL.CLIP.CLSS_TEMP,
         pixel_mean=tuple(cfg.MODEL.PIXEL_MEAN),
         pixel_std=tuple(cfg.MODEL.PIXEL_STD),
-        backbone_width=cfg.TPU.BACKBONE_WIDTH,
+        backbone_width=cfg.TPU.BACKBONE_WIDTH or cfg.MODEL.RESNETS.WIDTH_PER_GROUP,
+        num_groups=cfg.MODEL.RESNETS.NUM_GROUPS,
+        stride_in_1x1=cfg.MODEL.RESNETS.STRIDE_IN_1X1,
+        backbone_norm=cfg.MODEL.RESNETS.NORM,
+        deform_on_per_stage=tuple(cfg.MODEL.RESNETS.DEFORM_ON_PER_STAGE),
+        deform_modulated=cfg.MODEL.RESNETS.DEFORM_MODULATED,
+        box_num_conv=cfg.MODEL.ROI_BOX_HEAD.NUM_CONV,
+        box_conv_dim=cfg.MODEL.ROI_BOX_HEAD.CONV_DIM,
+        box_num_fc=cfg.MODEL.ROI_BOX_HEAD.NUM_FC or 2,
+        box_conv_norm=cfg.MODEL.ROI_BOX_HEAD.NORM,
+        fpn_norm=cfg.MODEL.FPN.NORM,
+        mask_conv_norm=cfg.MODEL.ROI_MASK_HEAD.NORM,
+        box_reg_loss_type=cfg.MODEL.ROI_BOX_HEAD.BBOX_REG_LOSS_TYPE,
+        cls_agnostic_bbox_reg=cfg.MODEL.ROI_BOX_HEAD.CLS_AGNOSTIC_BBOX_REG,
+        mask_cls_agnostic=cfg.MODEL.ROI_MASK_HEAD.CLS_AGNOSTIC_MASK,
         dtype=_dtype(cfg),
     )
 

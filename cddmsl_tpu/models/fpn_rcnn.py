@@ -65,18 +65,41 @@ class FPNRCNN(nn.Module):
     dtype: Any = jnp.float32
     # compile-light overrides (tests)
     backbone_width: int = 0
+    # backbone breadth knobs (RESNETS.*): ResNeXt cardinality, C2-style
+    # stride placement, norm choice, DCN stages
+    num_groups: int = 1
+    stride_in_1x1: bool = True
+    backbone_norm: str = "FrozenBN"
+    deform_on_per_stage: Sequence[bool] = (False, False, False, False)
+    deform_modulated: bool = False
+    # FastRCNNConvFCHead shape + GN norms (the Misc GN zoo configs)
+    box_num_conv: int = 0
+    box_conv_dim: int = 256
+    box_num_fc: int = 2
+    box_conv_norm: str = ""
+    fpn_norm: str = ""
+    mask_conv_norm: str = ""
+    box_reg_loss_type: str = "smooth_l1"
+    cls_agnostic_bbox_reg: bool = False
+    mask_cls_agnostic: bool = False
 
     def setup(self):
         self.backbone = D2ResNet(
             depth=self.depth,
             out_features=("res2", "res3", "res4", "res5"),
+            num_groups=self.num_groups,
             width_per_group=self.backbone_width or 64,
+            stride_in_1x1=self.stride_in_1x1,
+            norm=self.backbone_norm,
+            deform_on_per_stage=tuple(self.deform_on_per_stage),
+            deform_modulated=self.deform_modulated,
             dtype=self.dtype,
         )
         self.fpn = FPN(
             in_features=("res2", "res3", "res4", "res5"),
             out_channels=self.fpn_out_channels,
             top_block_p6=True,  # RPN sees p6 (Base-RCNN-FPN IN_FEATURES)
+            norm=self.fpn_norm,
             dtype=self.dtype,
         )
         self.proposal_generator = FPNRPN(
@@ -109,8 +132,16 @@ class FPNRCNN(nn.Module):
             mask_on=self.mask_on,
             mask_num_conv=self.mask_num_conv,
             mask_conv_dim=self.mask_conv_dim,
+            mask_conv_norm=self.mask_conv_norm,
             mask_canvas_stride=self.mask_canvas_stride,
             smooth_l1_beta=self.roi_smooth_l1_beta,
+            box_num_conv=self.box_num_conv,
+            box_conv_dim=self.box_conv_dim,
+            box_num_fc=self.box_num_fc,
+            box_conv_norm=self.box_conv_norm,
+            box_reg_loss_type=self.box_reg_loss_type,
+            cls_agnostic_bbox_reg=self.cls_agnostic_bbox_reg,
+            mask_cls_agnostic=self.mask_cls_agnostic,
             keypoint_on=self.keypoint_on,
             num_keypoints=self.num_keypoints,
             keypoint_conv_dims=tuple(self.keypoint_conv_dims),

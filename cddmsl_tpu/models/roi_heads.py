@@ -362,6 +362,7 @@ class CLIPStandardROIHeads(nn.Module):
     mask_pooler_resolution: int = 14
     mask_num_conv: int = 4
     mask_conv_dim: int = 256
+    mask_conv_norm: str = ""  # ROI_MASK_HEAD.NORM
     mask_canvas_stride: float = 4.0
     smooth_l1_beta: float = 0.0  # ROI_BOX_HEAD.SMOOTH_L1_BETA (0 = L1)
     # FPN keypoint branch (reference StandardROIHeads _forward_keypoint with
@@ -370,6 +371,17 @@ class CLIPStandardROIHeads(nn.Module):
     num_keypoints: int = 17
     keypoint_conv_dims: Sequence[int] = (512,) * 8
     keypoint_pooler_resolution: int = 14
+    # FastRCNNConvFCHead generalization (reference roi_heads/box_head.py):
+    # NUM_CONV 3x3 convs (+optional GN) on the pooled map, then NUM_FC fcs.
+    # num_fc=2 keeps the legacy fc1(fc_dim)+fc2(emb_dim) naming; num_fc=1 is
+    # the GN-config shape (conv4 + one fc, predictor reads fc_dim).
+    box_num_conv: int = 0
+    box_conv_dim: int = 256
+    box_num_fc: int = 2
+    box_conv_norm: str = ""  # ROI_BOX_HEAD.NORM ("" or "GN")
+    box_reg_loss_type: str = "smooth_l1"  # or "giou" (the _giou zoo config)
+    cls_agnostic_bbox_reg: bool = False
+    mask_cls_agnostic: bool = False
     dtype: Any = jnp.float32
 
     def setup(self):
@@ -386,6 +398,8 @@ class CLIPStandardROIHeads(nn.Module):
                 num_classes=self.num_classes,
                 num_conv=self.mask_num_conv,
                 conv_dim=self.mask_conv_dim,
+                conv_norm=self.mask_conv_norm,
+                cls_agnostic=self.mask_cls_agnostic,
                 dtype=self.dtype,
             )
         if self.keypoint_on:
@@ -397,13 +411,34 @@ class CLIPStandardROIHeads(nn.Module):
                 conv_dims=tuple(self.keypoint_conv_dims),
                 dtype=self.dtype,
             )
+        if self.box_num_conv > 0:
+            from .backbone.batch_norm import GroupNorm32
+
+            self.box_head_convs = [
+                nn.Conv(
+                    self.box_conv_dim, (3, 3), padding=1,
+                    use_bias=(self.box_conv_norm == ""),
+                    dtype=self.dtype, param_dtype=jnp.float32,
+                    name=f"box_head_conv{i + 1}",
+                )
+                for i in range(self.box_num_conv)
+            ]
+            self.box_head_conv_norms = [
+                GroupNorm32(self.box_conv_dim, dtype=self.dtype, name=f"box_head_conv{i + 1}_gn")
+                if self.box_conv_norm == "GN"
+                else None
+                for i in range(self.box_num_conv)
+            ]
+        assert self.box_num_fc in (1, 2), "ROI_BOX_HEAD.NUM_FC must be 1 or 2"
         self.box_head_fc1 = nn.Dense(self.fc_dim, dtype=self.dtype, param_dtype=jnp.float32)
-        self.box_head_fc2 = nn.Dense(self.emb_dim, dtype=self.dtype, param_dtype=jnp.float32)
+        if self.box_num_fc == 2:
+            self.box_head_fc2 = nn.Dense(self.emb_dim, dtype=self.dtype, param_dtype=jnp.float32)
         self.box_predictor = FastRCNNOutputLayers(
             num_classes=self.num_classes,
-            input_size=self.emb_dim,
+            input_size=self.emb_dim if self.box_num_fc == 2 else self.fc_dim,
             use_text_emb=self.use_text_emb,
             temperature=self.temperature,
+            cls_agnostic_bbox_reg=self.cls_agnostic_bbox_reg,
             dtype=self.dtype,
         )
         self.box2box = Box2BoxTransform((10.0, 10.0, 5.0, 5.0))
@@ -415,9 +450,21 @@ class CLIPStandardROIHeads(nn.Module):
         pooled = jax.vmap(lambda *per_img: self.pooler(list(per_img[:-1]), per_img[-1]))(
             *fpn_feats, boxes
         )
-        x = pooled.reshape(b * s, -1)
+        if self.box_num_conv > 0:
+            r = self.pooler_resolution
+            x = pooled.reshape(b * s, r, r, -1).astype(self.dtype)
+            for conv, norm in zip(self.box_head_convs, self.box_head_conv_norms):
+                x = conv(x)
+                if norm is not None:
+                    x = norm(x)
+                x = nn.relu(x)
+            x = x.reshape(b * s, -1)
+        else:
+            x = pooled.reshape(b * s, -1)
         x = nn.relu(self.box_head_fc1(x.astype(self.dtype)))
-        return nn.relu(self.box_head_fc2(x))
+        if self.box_num_fc == 2:
+            x = nn.relu(self.box_head_fc2(x))
+        return x
 
     def _mask_pool(self, fpn_feats, boxes):
         b, s = boxes.shape[:2]
@@ -449,6 +496,7 @@ class CLIPStandardROIHeads(nn.Module):
                 classes.reshape(b * s), valid.reshape(b * s),
                 self.num_classes, self.box2box,
                 smooth_l1_beta=self.smooth_l1_beta,
+                box_reg_loss_type=self.box_reg_loss_type,
             )
             if self.mask_on:
                 assert gt_masks is not None, "MASK_ON training needs gt_masks"
