@@ -176,6 +176,78 @@ def test_convert_d2_resnet_deform_naming():
     assert tree["res3_0"]["conv2"]["kernel"].shape == (3, 3, 8, 8)
 
 
+def _zoo_cfg(rel):
+    import os
+
+    from cddmsl_tpu.config import get_cfg
+
+    cfg = get_cfg()
+    cfg.merge_from_file(os.path.join(os.path.dirname(__file__), "..", "configs", rel))
+    return cfg
+
+
+def test_zoo_breadth_configs_build():
+    """The X101 / GN / dconv / cls-agnostic zoo yamls propagate their knobs
+    into the built FPNRCNN (build-only: module dataclass construction)."""
+    from cddmsl_tpu.models import build_model
+
+    m = build_model(_zoo_cfg("COCO-Detection/faster_rcnn_X_101_32x8d_FPN_3x.yaml"))
+    assert (m.num_groups, m.backbone_width, m.depth) == (32, 8, 101)
+    assert not m.stride_in_1x1
+
+    m = build_model(_zoo_cfg("Misc/mask_rcnn_R_50_FPN_3x_gn.yaml"))
+    assert m.backbone_norm == "GN" and m.fpn_norm == "GN"
+    assert (m.box_num_conv, m.box_num_fc, m.box_conv_norm) == (4, 1, "GN")
+    assert m.mask_conv_norm == "GN" and m.mask_on
+
+    m = build_model(_zoo_cfg("Misc/mask_rcnn_R_50_FPN_1x_dconv_c3-c5.yaml"))
+    assert tuple(m.deform_on_per_stage) == (False, True, True, True)
+    assert m.deform_modulated
+
+    m = build_model(_zoo_cfg("Misc/mask_rcnn_R_50_FPN_1x_cls_agnostic.yaml"))
+    assert m.cls_agnostic_bbox_reg and m.mask_cls_agnostic
+
+
+def test_zoo_gn_config_one_loss_step():
+    """Misc/mask_rcnn_R_50_FPN_3x_gn.yaml (compile-light overrides) runs one
+    train loss step with finite losses and builds GN params end-to-end."""
+    import os
+
+    import jax
+
+    from cddmsl_tpu.models import DetBatch, build_model
+
+    cfg = _zoo_cfg("Misc/mask_rcnn_R_50_FPN_3x_gn.yaml")
+    cfg.MODEL.RESNETS.DEPTH = 10
+    cfg.MODEL.RESNETS.NUM_GROUPS = 2
+    cfg.TPU.BACKBONE_WIDTH = 8
+    cfg.MODEL.RPN.PRE_NMS_TOPK_TRAIN = 64
+    cfg.MODEL.RPN.POST_NMS_TOPK_TRAIN = 32
+    cfg.MODEL.ROI_HEADS.BATCH_SIZE_PER_IMAGE = 16
+    cfg.MODEL.ROI_BOX_HEAD.FC_DIM = 32
+    cfg.MODEL.ROI_BOX_HEAD.CONV_DIM = 16
+    cfg.MODEL.ROI_MASK_HEAD.CONV_DIM = 16
+    cfg.MODEL.ROI_MASK_HEAD.NUM_CONV = 1
+    model = build_model(cfg)
+    rng = np.random.RandomState(3)
+    batch = DetBatch(
+        image=jnp.asarray(rng.rand(1, 64, 64, 3) * 255, jnp.float32),
+        image_sizes=jnp.asarray([[64, 64]], jnp.int32),
+        orig_sizes=jnp.asarray([[64, 64]], jnp.int32),
+        gt_boxes=jnp.asarray([[[8, 8, 30, 30], [40, 40, 60, 60]]], jnp.float32),
+        gt_classes=jnp.asarray([[0, 2]], jnp.int32),
+        gt_valid=jnp.asarray([[True, True]]),
+        gt_masks=jnp.ones((1, 2, 16, 16), jnp.float32),
+    )
+    params = model.init(jax.random.PRNGKey(0), batch, jax.random.PRNGKey(1))
+    losses = model.apply(params, batch, jax.random.PRNGKey(2))
+    assert "loss_mask" in losses
+    for k, v in losses.items():
+        assert np.isfinite(float(v)), (k, v)
+    assert "stem_bn1" in params["params"]["backbone"]
+    assert "running_mean" not in params["params"]["backbone"]["stem_bn1"]  # GN, not BN
+
+
 def test_fpn_rcnn_gn_convfc_giou_e2e():
     """Tiny FPNRCNN in the Misc-GN-config shape (GN backbone/FPN/heads,
     conv4+fc1 box head analogue at conv1+fc1, giou box loss, cls-agnostic
