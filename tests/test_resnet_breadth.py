@@ -207,6 +207,15 @@ def test_zoo_breadth_configs_build():
     m = build_model(_zoo_cfg("Misc/mask_rcnn_R_50_FPN_1x_cls_agnostic.yaml"))
     assert m.cls_agnostic_bbox_reg and m.mask_cls_agnostic
 
+    m = build_model(_zoo_cfg("COCO-Detection/faster_rcnn_R_101_FPN_3x.yaml"))
+    assert m.depth == 101 and type(m).__name__ == "FPNRCNN"
+    m = build_model(_zoo_cfg("COCO-InstanceSegmentation/mask_rcnn_R_101_FPN_3x.yaml"))
+    assert m.depth == 101 and m.mask_on
+    m = build_model(_zoo_cfg("COCO-InstanceSegmentation/mask_rcnn_X_101_32x8d_FPN_3x.yaml"))
+    assert (m.num_groups, m.backbone_width, m.depth) == (32, 8, 101) and m.mask_on
+    m = build_model(_zoo_cfg("COCO-Detection/retinanet_R_101_FPN_3x.yaml"))
+    assert type(m).__name__ == "RetinaNet" and m.depth == 101
+
 
 def test_zoo_gn_config_one_loss_step():
     """Misc/mask_rcnn_R_50_FPN_3x_gn.yaml (compile-light overrides) runs one
