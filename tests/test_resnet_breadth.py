@@ -215,6 +215,8 @@ def test_zoo_breadth_configs_build():
     assert (m.num_groups, m.backbone_width, m.depth) == (32, 8, 101) and m.mask_on
     m = build_model(_zoo_cfg("COCO-Detection/retinanet_R_101_FPN_3x.yaml"))
     assert type(m).__name__ == "RetinaNet" and m.depth == 101
+    m = build_model(_zoo_cfg("COCO-Detection/rpn_R_50_C4_1x.yaml"))
+    assert type(m).__name__ == "ProposalNetwork"
 
 
 def test_zoo_gn_config_one_loss_step():
