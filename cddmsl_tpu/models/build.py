@@ -172,6 +172,7 @@ def build_fpn_rcnn(cfg):
         box_reg_loss_type=cfg.MODEL.ROI_BOX_HEAD.BBOX_REG_LOSS_TYPE,
         cls_agnostic_bbox_reg=cfg.MODEL.ROI_BOX_HEAD.CLS_AGNOSTIC_BBOX_REG,
         mask_cls_agnostic=cfg.MODEL.ROI_MASK_HEAD.CLS_AGNOSTIC_MASK,
+        dc5=cfg.MODEL.RESNETS.RES5_DILATION == 2,
         dtype=_dtype(cfg),
     )
 
@@ -297,6 +298,11 @@ def build_model(cfg):
     # ... and the FPN family via BACKBONE.NAME=build_resnet_fpn_backbone
     # (reference Base-RCNN-FPN.yaml)
     elif name == "GeneralizedRCNN" and "fpn_backbone" in cfg.MODEL.BACKBONE.NAME:
+        builder = build_fpn_rcnn
+    # ... and DC5 (reference Base-RCNN-DilatedC5.yaml: dilated stride-16
+    # res5 as the single feature map + StandardROIHeads) — same FPNRCNN
+    # assembly in single-level mode
+    elif name == "GeneralizedRCNN" and cfg.MODEL.RESNETS.RES5_DILATION == 2:
         builder = build_fpn_rcnn
     if builder is None:
         if name in META_ARCH_REGISTRY:

@@ -82,30 +82,39 @@ class FPNRCNN(nn.Module):
     box_reg_loss_type: str = "smooth_l1"
     cls_agnostic_bbox_reg: bool = False
     mask_cls_agnostic: bool = False
+    # DC5 assembly (reference configs/Base-RCNN-DilatedC5.yaml): dilated
+    # stride-16 res5 is the ONE feature map — no FPN; the RPN (all 5 anchor
+    # sizes on the single level) and the StandardROIHeads poolers read res5.
+    dc5: bool = False
+    res2_out_channels: int = 256  # compile-light override (tests)
 
     def setup(self):
         self.backbone = D2ResNet(
             depth=self.depth,
-            out_features=("res2", "res3", "res4", "res5"),
+            out_features=("res5",) if self.dc5 else ("res2", "res3", "res4", "res5"),
+            res5_dilation=2 if self.dc5 else 1,
             num_groups=self.num_groups,
             width_per_group=self.backbone_width or 64,
             stride_in_1x1=self.stride_in_1x1,
             norm=self.backbone_norm,
             deform_on_per_stage=tuple(self.deform_on_per_stage),
             deform_modulated=self.deform_modulated,
+            res2_out_channels=self.res2_out_channels,
             dtype=self.dtype,
         )
-        self.fpn = FPN(
-            in_features=("res2", "res3", "res4", "res5"),
-            out_channels=self.fpn_out_channels,
-            top_block_p6=True,  # RPN sees p6 (Base-RCNN-FPN IN_FEATURES)
-            norm=self.fpn_norm,
-            dtype=self.dtype,
-        )
+        res5_channels = self.res2_out_channels * 8
+        if not self.dc5:
+            self.fpn = FPN(
+                in_features=("res2", "res3", "res4", "res5"),
+                out_channels=self.fpn_out_channels,
+                top_block_p6=True,  # RPN sees p6 (Base-RCNN-FPN IN_FEATURES)
+                norm=self.fpn_norm,
+                dtype=self.dtype,
+            )
         self.proposal_generator = FPNRPN(
-            in_channels=self.fpn_out_channels,
-            strides=(4, 8, 16, 32, 64),
-            anchor_sizes=tuple(self.anchor_sizes),
+            in_channels=res5_channels if self.dc5 else self.fpn_out_channels,
+            strides=(16,) if self.dc5 else (4, 8, 16, 32, 64),
+            anchor_sizes=(tuple(self.anchor_sizes),) if self.dc5 else tuple(self.anchor_sizes),
             anchor_aspect_ratios=tuple(self.anchor_aspect_ratios),
             batch_size_per_image=self.rpn_batch_size_per_image,
             positive_fraction=self.rpn_positive_fraction,
@@ -119,6 +128,7 @@ class FPNRCNN(nn.Module):
             dtype=self.dtype,
         )
         self.roi_heads = CLIPStandardROIHeads(
+            pooler_scales=(1 / 16,) if self.dc5 else (1 / 4, 1 / 8, 1 / 16, 1 / 32),
             num_classes=self.num_classes,
             batch_size_per_image=self.roi_batch_size_per_image,
             positive_fraction=self.roi_positive_fraction,
@@ -157,6 +167,9 @@ class FPNRCNN(nn.Module):
         return ((x - mean) / std).astype(self.dtype)
 
     def _features(self, images: jnp.ndarray):
+        if self.dc5:
+            res5 = self.backbone(self._normalize(images))["res5"]
+            return [res5], [res5]
         feats = self.fpn(self.backbone(self._normalize(images)))
         head_levels = [feats[k] for k in ("p2", "p3", "p4", "p5")]
         rpn_levels = head_levels + [feats["p6"]]

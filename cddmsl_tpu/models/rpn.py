@@ -192,27 +192,34 @@ class FPNRPN(RPN):
     with level ids as class ids, layers/nms.py:16-43), keeping the global
     top post_nms_topk by score.
 
-    `anchor_sizes` holds ONE size per level here (d2 FPN convention:
-    ANCHOR_GENERATOR.SIZES = [[32],[64],[128],[256],[512]]), paired with
-    `strides`."""
+    `anchor_sizes` holds one entry per level: a scalar (d2 FPN convention:
+    ANCHOR_GENERATOR.SIZES = [[32],[64],[128],[256],[512]]) or a tuple of
+    sizes (the DC5/C4 single-level convention, SIZES = [[32,...,512]]),
+    paired with `strides`. The shared head requires the same anchor count
+    on every level (d2's anchor generator has the same constraint)."""
 
     strides: Sequence[int] = (4, 8, 16, 32, 64)
 
     def setup(self):
         assert len(self.anchor_sizes) == len(self.strides), (
-            "FPNRPN wants one anchor size per pyramid level"
+            "FPNRPN wants one anchor-size entry per pyramid level"
         )
+        self.level_cell_anchors = [
+            generate_cell_anchors(
+                tuple(size) if isinstance(size, (tuple, list)) else (size,),
+                self.anchor_aspect_ratios,
+            )
+            for size in self.anchor_sizes
+        ]
+        counts = {c.shape[0] for c in self.level_cell_anchors}
+        assert len(counts) == 1, f"per-level anchor counts must match, got {counts}"
         self.head = StandardRPNHead(
-            num_anchors=len(self.anchor_aspect_ratios),
+            num_anchors=self.level_cell_anchors[0].shape[0],
             conv_dim=self.in_channels,
             dtype=self.dtype,
         )
         self.box2box = Box2BoxTransform(self.bbox_reg_weights)
         self.matcher = Matcher(self.iou_thresholds, self.iou_labels, allow_low_quality_matches=True)
-        self.level_cell_anchors = [
-            generate_cell_anchors((size,), self.anchor_aspect_ratios)
-            for size in self.anchor_sizes
-        ]
 
     def __call__(
         self,
@@ -225,7 +232,7 @@ class FPNRPN(RPN):
         compute_losses: bool = True,
     ) -> Tuple[Proposals, Dict[str, jnp.ndarray]]:
         b = features[0].shape[0]
-        a = len(self.anchor_aspect_ratios)
+        a = self.level_cell_anchors[0].shape[0]
         pre_k = self.pre_nms_topk_train if training else self.pre_nms_topk_test
         post_k = self.post_nms_topk_train if training else self.post_nms_topk_test
 

@@ -193,3 +193,45 @@ def test_fpn_inference(fpn_setup):
     if keep.any():
         bx = np.asarray(det.boxes)[keep]
         assert (bx[:, 2] <= 2 * 96 + 1e-3).all() and (bx[:, 3] <= 2 * 64 + 1e-3).all()
+
+
+def test_dc5_config_builds():
+    """Base-RCNN-DilatedC5 dispatch (reference configs/Base-RCNN-DilatedC5
+    .yaml): RES5_DILATION=2 routes GeneralizedRCNN to the single-level
+    FPNRCNN assembly with all five anchor sizes on the one level."""
+    for rel, mask in (
+        ("COCO-Detection/faster_rcnn_R_50_DC5_1x.yaml", False),
+        ("COCO-Detection/faster_rcnn_R_101_DC5_3x.yaml", False),
+        ("COCO-InstanceSegmentation/mask_rcnn_R_50_DC5_1x.yaml", True),
+    ):
+        m = build_model(_tiny_cfg(rel))
+        assert type(m).__name__ == "FPNRCNN" and m.dc5 and m.mask_on == mask, rel
+        assert tuple(m.anchor_sizes) == (32, 64, 128, 256, 512)
+
+
+def test_dc5_e2e():
+    """Tiny DC5 Mask R-CNN: dilated stride-16 res5 is the only feature map
+    (backbone has no FPN params, res5 spatial = H/16), 15 anchors per cell
+    on the single level, train losses finite incl. mask, inference decodes
+    detections + masks in the postprocessed frame."""
+    cfg = _tiny_cfg("COCO-InstanceSegmentation/mask_rcnn_R_50_DC5_1x.yaml")
+    cfg.MODEL.RPN.PRE_NMS_TOPK_TRAIN = 128  # single level: give NMS headroom
+    cfg.TPU.BACKBONE_WIDTH = 4
+    model = build_model(cfg).clone(res2_out_channels=32)  # light res5 = 256ch
+    batch = _batch(with_masks=True)
+    rng = jax.random.PRNGKey(0)
+    params = model.init({"params": rng}, batch, rng, method=model.init_all)
+    assert "fpn" not in params["params"]
+    losses = model.apply(params, batch, jax.random.PRNGKey(1))
+    for k in ("loss_rpn_cls", "loss_rpn_loc", "loss_cls", "loss_box_reg", "loss_mask"):
+        assert k in losses and np.isfinite(float(losses[k])), (k, losses.get(k))
+    # res5 keeps stride 16 under the dilation
+    feats = model.apply(params, batch.image, method=model._features)[0]
+    assert feats[0].shape[1:3] == (64 // 16, 96 // 16)
+    det = jax.device_get(model.apply(params, batch, method=model.inference))
+    assert det.boxes.shape[1] == cfg.TEST.DETECTIONS_PER_IMAGE
+    assert det.masks is not None
+    keep = np.asarray(det.valid)
+    if keep.any():
+        bx = np.asarray(det.boxes)[keep]
+        assert (bx[:, 2] <= 2 * 96 + 1e-3).all() and (bx[:, 3] <= 2 * 64 + 1e-3).all()
