@@ -345,8 +345,24 @@ def build_semantic_segmentor(cfg):
 
 @META_ARCH_REGISTRY.register()
 def build_proposal_network(cfg):
-    from .extra_meta_archs import ProposalNetwork
+    from .extra_meta_archs import FPNProposalNetwork, ProposalNetwork
 
+    if "fpn_backbone" in cfg.MODEL.BACKBONE.NAME:
+        # reference rpn_R_50_FPN_1x.yaml (RPN-only on Base-RCNN-FPN)
+        groups = list(cfg.MODEL.ANCHOR_GENERATOR.SIZES)
+        sizes = tuple(
+            g[0] if isinstance(g, (list, tuple)) else g for g in groups
+        ) if len(groups) == 5 else (32, 64, 128, 256, 512)
+        return FPNProposalNetwork(
+            depth=cfg.MODEL.RESNETS.DEPTH,
+            anchor_sizes=sizes,
+            pre_nms_topk=(cfg.MODEL.RPN.PRE_NMS_TOPK_TRAIN, cfg.MODEL.RPN.PRE_NMS_TOPK_TEST),
+            post_nms_topk=(cfg.MODEL.RPN.POST_NMS_TOPK_TRAIN, cfg.MODEL.RPN.POST_NMS_TOPK_TEST),
+            pixel_mean=tuple(cfg.MODEL.PIXEL_MEAN),
+            pixel_std=tuple(cfg.MODEL.PIXEL_STD),
+            backbone_width=cfg.TPU.BACKBONE_WIDTH,
+            dtype=_dtype(cfg),
+        )
     return ProposalNetwork(
         depth=cfg.MODEL.RESNETS.DEPTH,
         pixel_mean=tuple(cfg.MODEL.PIXEL_MEAN),

@@ -50,6 +50,69 @@ class ProposalNetwork(nn.Module):
         return self.losses(batch, rng)
 
 
+class FPNProposalNetwork(nn.Module):
+    """FPN variant of ProposalNetwork (reference rpn_R_50_FPN_1x.yaml:
+    META_ARCHITECTURE=ProposalNetwork on Base-RCNN-FPN — FPN backbone +
+    the shared multi-level RPN, proposals emitted as 'detections')."""
+
+    depth: int = 50
+    fpn_out_channels: int = 256
+    anchor_sizes: Sequence[float] = (32, 64, 128, 256, 512)
+    pre_nms_topk: Tuple[int, int] = (2000, 1000)
+    post_nms_topk: Tuple[int, int] = (1000, 2000)  # d2 rpn_*.yaml: 2000 at test
+    pixel_mean: Sequence[float] = (103.53, 116.28, 123.675)
+    pixel_std: Sequence[float] = (1.0, 1.0, 1.0)
+    backbone_width: int = 0  # compile-light override (tests)
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        from .rpn import FPNRPN
+
+        self.backbone = D2ResNet(
+            depth=self.depth, out_features=("res2", "res3", "res4", "res5"),
+            width_per_group=self.backbone_width or 64, dtype=self.dtype,
+        )
+        self.fpn = FPN(
+            in_features=("res2", "res3", "res4", "res5"),
+            out_channels=self.fpn_out_channels, top_block_p6=True, dtype=self.dtype,
+        )
+        self.proposal_generator = FPNRPN(
+            in_channels=self.fpn_out_channels,
+            strides=(4, 8, 16, 32, 64),
+            anchor_sizes=tuple(self.anchor_sizes),
+            pre_nms_topk_train=self.pre_nms_topk[0],
+            pre_nms_topk_test=self.pre_nms_topk[1],
+            post_nms_topk_train=self.post_nms_topk[0],
+            post_nms_topk_test=self.post_nms_topk[1],
+            dtype=self.dtype,
+        )
+
+    def _norm(self, images):
+        mean = jnp.asarray(self.pixel_mean, jnp.float32)
+        std = jnp.asarray(self.pixel_std, jnp.float32)
+        return ((images - mean) / std).astype(self.dtype)
+
+    def _levels(self, images):
+        feats = self.fpn(self.backbone(self._norm(images)))
+        return [feats[f"p{i}"] for i in range(2, 7)]
+
+    def losses(self, batch: DetBatch, rng: jax.Array) -> Dict[str, jnp.ndarray]:
+        _, losses = self.proposal_generator(
+            self._levels(batch.image), batch.image_sizes, training=True,
+            gt_boxes=batch.gt_boxes, gt_valid=batch.gt_valid, rng=rng,
+        )
+        return losses
+
+    def inference(self, batch: DetBatch) -> Proposals:
+        proposals, _ = self.proposal_generator(
+            self._levels(batch.image), batch.image_sizes, training=False
+        )
+        return proposals
+
+    def __call__(self, batch: DetBatch, rng: jax.Array):
+        return self.losses(batch, rng)
+
+
 class SemSegFPNHead(nn.Module):
     """FPN semantic head (reference semantic_seg.py SemSegFPNHead): per-level
     conv stacks upsampled to 1/4 scale, summed, 1x1 predictor."""

@@ -235,3 +235,21 @@ def test_dc5_e2e():
     if keep.any():
         bx = np.asarray(det.boxes)[keep]
         assert (bx[:, 2] <= 2 * 96 + 1e-3).all() and (bx[:, 3] <= 2 * 64 + 1e-3).all()
+
+
+def test_fpn_proposal_network():
+    """rpn_R_50_FPN_1x: RPN-only ProposalNetwork on the FPN backbone —
+    builds from config, trains one loss step, emits proposals."""
+    cfg = _tiny_cfg("COCO-Detection/rpn_R_50_FPN_1x.yaml")
+    model = build_model(cfg)
+    assert type(model).__name__ == "FPNProposalNetwork"
+    batch = _batch()
+    rng = jax.random.PRNGKey(0)
+    params = model.init({"params": rng}, batch, rng)
+    losses = model.apply(params, batch, jax.random.PRNGKey(1))
+    assert set(losses) == {"loss_rpn_cls", "loss_rpn_loc"}
+    for k, v in losses.items():
+        assert np.isfinite(float(v)), (k, v)
+    props = model.apply(params, batch, method=model.inference)
+    assert props.boxes.shape == (2, cfg.MODEL.RPN.POST_NMS_TOPK_TEST, 4)
+    assert bool(np.asarray(props.valid).any())
