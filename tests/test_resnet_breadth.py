@@ -299,3 +299,18 @@ def test_fpn_rcnn_gn_convfc_giou_e2e():
     det = model.apply(params, batch, method=model.inference)
     assert det.boxes.shape == (1, 8, 4)
     assert det.masks is not None
+
+
+def test_all_coco_zoo_yamls_build():
+    """Every yaml under COCO-Detection / COCO-InstanceSegmentation builds a
+    model from config (catches _BASE_ drift and bad keys across the zoo)."""
+    import os
+
+    from cddmsl_tpu.models import build_model
+
+    root = os.path.join(os.path.dirname(__file__), "..", "configs")
+    for sub in ("COCO-Detection", "COCO-InstanceSegmentation"):
+        for fn in sorted(os.listdir(os.path.join(root, sub))):
+            if fn.endswith(".yaml"):
+                m = build_model(_zoo_cfg(f"{sub}/{fn}"))
+                assert m is not None, fn
