@@ -170,6 +170,9 @@ def build_fpn_rcnn(cfg):
         fpn_norm=cfg.MODEL.FPN.NORM,
         mask_conv_norm=cfg.MODEL.ROI_MASK_HEAD.NORM,
         box_reg_loss_type=cfg.MODEL.ROI_BOX_HEAD.BBOX_REG_LOSS_TYPE,
+        box_reg_loss_weight=cfg.MODEL.ROI_BOX_HEAD.BBOX_REG_LOSS_WEIGHT,
+        rpn_box_reg_loss_type=cfg.MODEL.RPN.BBOX_REG_LOSS_TYPE,
+        rpn_box_reg_loss_weight=cfg.MODEL.RPN.BBOX_REG_LOSS_WEIGHT,
         cls_agnostic_bbox_reg=cfg.MODEL.ROI_BOX_HEAD.CLS_AGNOSTIC_BBOX_REG,
         mask_cls_agnostic=cfg.MODEL.ROI_MASK_HEAD.CLS_AGNOSTIC_MASK,
         dc5=cfg.MODEL.RESNETS.RES5_DILATION == 2,

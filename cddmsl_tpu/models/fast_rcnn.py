@@ -80,6 +80,7 @@ def fast_rcnn_losses(
     box2box: Box2BoxTransform,
     smooth_l1_beta: float = 0.0,
     box_reg_loss_type: str = "smooth_l1",
+    box_reg_loss_weight: float = 1.0,
     focal_gamma: Optional[float] = None,
     bg_loss_weight: Optional[float] = None,
 ) -> Dict[str, jnp.ndarray]:
@@ -121,7 +122,7 @@ def fast_rcnn_losses(
         reg = 1.0 - box_ops.pairwise_giou(fg_boxes, gt_boxes)
     else:
         raise ValueError(box_reg_loss_type)
-    loss_box = jnp.sum(reg * fg.astype(jnp.float32)) / n_valid
+    loss_box = jnp.sum(reg * fg.astype(jnp.float32)) / n_valid * box_reg_loss_weight
     return {"loss_cls": loss_cls, "loss_box_reg": loss_box}
 
 

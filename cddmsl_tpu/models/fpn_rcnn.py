@@ -80,6 +80,9 @@ class FPNRCNN(nn.Module):
     fpn_norm: str = ""
     mask_conv_norm: str = ""
     box_reg_loss_type: str = "smooth_l1"
+    box_reg_loss_weight: float = 1.0
+    rpn_box_reg_loss_type: str = "smooth_l1"
+    rpn_box_reg_loss_weight: float = 1.0
     cls_agnostic_bbox_reg: bool = False
     mask_cls_agnostic: bool = False
     # DC5 assembly (reference configs/Base-RCNN-DilatedC5.yaml): dilated
@@ -125,6 +128,8 @@ class FPNRCNN(nn.Module):
             nms_thresh=self.rpn_nms_thresh,
             loss_weight=self.rpn_loss_weight,
             smooth_l1_beta=self.rpn_smooth_l1_beta,
+            box_reg_loss_type=self.rpn_box_reg_loss_type,
+            box_reg_loss_weight=self.rpn_box_reg_loss_weight,
             dtype=self.dtype,
         )
         self.roi_heads = CLIPStandardROIHeads(
@@ -150,6 +155,7 @@ class FPNRCNN(nn.Module):
             box_num_fc=self.box_num_fc,
             box_conv_norm=self.box_conv_norm,
             box_reg_loss_type=self.box_reg_loss_type,
+            box_reg_loss_weight=self.box_reg_loss_weight,
             cls_agnostic_bbox_reg=self.cls_agnostic_bbox_reg,
             mask_cls_agnostic=self.mask_cls_agnostic,
             keypoint_on=self.keypoint_on,

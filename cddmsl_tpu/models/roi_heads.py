@@ -380,6 +380,7 @@ class CLIPStandardROIHeads(nn.Module):
     box_num_fc: int = 2
     box_conv_norm: str = ""  # ROI_BOX_HEAD.NORM ("" or "GN")
     box_reg_loss_type: str = "smooth_l1"  # or "giou" (the _giou zoo config)
+    box_reg_loss_weight: float = 1.0  # ROI_BOX_HEAD.BBOX_REG_LOSS_WEIGHT
     cls_agnostic_bbox_reg: bool = False
     mask_cls_agnostic: bool = False
     dtype: Any = jnp.float32
@@ -497,6 +498,7 @@ class CLIPStandardROIHeads(nn.Module):
                 self.num_classes, self.box2box,
                 smooth_l1_beta=self.smooth_l1_beta,
                 box_reg_loss_type=self.box_reg_loss_type,
+                box_reg_loss_weight=self.box_reg_loss_weight,
             )
             if self.mask_on:
                 assert gt_masks is not None, "MASK_ON training needs gt_masks"

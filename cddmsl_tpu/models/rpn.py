@@ -83,6 +83,11 @@ class RPN(nn.Module):
     bbox_reg_weights: Sequence[float] = (1.0, 1.0, 1.0, 1.0)
     smooth_l1_beta: float = 0.0
     loss_weight: float = 1.0
+    # reference rpn.py box_reg_loss_type: giou decodes the anchors and
+    # penalizes 1 - GIoU(pred, matched gt) on positives; BBOX_REG_LOSS_WEIGHT
+    # scales only the localization term (the _giou zoo config uses 2.0)
+    box_reg_loss_type: str = "smooth_l1"
+    box_reg_loss_weight: float = 1.0
     pre_nms_topk_train: int = 12000
     pre_nms_topk_test: int = 6000
     post_nms_topk_train: int = 2000
@@ -140,11 +145,14 @@ class RPN(nn.Module):
                 self.batch_size_per_image, self.positive_fraction,
             )
             matched_gt = gtb[matched_idxs]  # (A, 4)
-            gt_deltas = self.box2box.get_deltas(anchors, matched_gt)
-
-            loc = jnp.sum(
-                smooth_l1(delta, gt_deltas, self.smooth_l1_beta) * pos_sel[:, None]
-            )
+            if self.box_reg_loss_type == "giou":
+                pred = self.box2box.apply_deltas(delta, anchors)
+                loc = jnp.sum((1.0 - box_ops.pairwise_giou(pred, matched_gt)) * pos_sel)
+            else:
+                gt_deltas = self.box2box.get_deltas(anchors, matched_gt)
+                loc = jnp.sum(
+                    smooth_l1(delta, gt_deltas, self.smooth_l1_beta) * pos_sel[:, None]
+                )
             sampled = pos_sel | neg_sel
             cls_target = pos_sel.astype(jnp.float32)
             bce = jnp.maximum(logit, 0) - logit * cls_target + jnp.log1p(jnp.exp(-jnp.abs(logit)))
@@ -155,7 +163,8 @@ class RPN(nn.Module):
         normalizer = self.batch_size_per_image * logits.shape[0]
         return {
             "loss_rpn_cls": jnp.sum(cls) / normalizer * self.loss_weight,
-            "loss_rpn_loc": jnp.sum(loc) / normalizer * self.loss_weight,
+            "loss_rpn_loc": jnp.sum(loc) / normalizer * self.loss_weight
+            * self.box_reg_loss_weight,
         }
 
     # ---- proposals ----

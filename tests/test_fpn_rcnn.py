@@ -253,3 +253,30 @@ def test_fpn_proposal_network():
     props = model.apply(params, batch, method=model.inference)
     assert props.boxes.shape == (2, cfg.MODEL.RPN.POST_NMS_TOPK_TEST, 4)
     assert bool(np.asarray(props.valid).any())
+
+
+def test_giou_config_e2e():
+    """mask_rcnn_R_50_FPN_1x_giou: giou box regression in BOTH the RPN
+    (decoded anchors, weight 2.0) and the ROI head (weight 10.0). The
+    weights verifiably scale the loc losses; all losses finite."""
+    cfg = _tiny_cfg("COCO-InstanceSegmentation/mask_rcnn_R_50_FPN_1x_giou.yaml")
+    assert cfg.MODEL.RPN.BBOX_REG_LOSS_TYPE == "giou"
+    model = build_model(cfg)
+    assert model.rpn_box_reg_loss_type == "giou" and model.rpn_box_reg_loss_weight == 2.0
+    assert model.box_reg_loss_type == "giou" and model.box_reg_loss_weight == 10.0
+    batch = _batch(with_masks=True)
+    rng = jax.random.PRNGKey(0)
+    params = model.init({"params": rng}, batch, rng, method=model.init_all)
+    losses = model.apply(params, batch, jax.random.PRNGKey(1))
+    for k, v in losses.items():
+        assert np.isfinite(float(v)), (k, v)
+    # the reg-loss weights scale ONLY the localization terms
+    half = model.clone(rpn_box_reg_loss_weight=1.0, box_reg_loss_weight=1.0)
+    lh = half.apply(params, batch, jax.random.PRNGKey(1))
+    np.testing.assert_allclose(float(losses["loss_rpn_loc"]), 2.0 * float(lh["loss_rpn_loc"]), rtol=1e-5)
+    np.testing.assert_allclose(float(losses["loss_box_reg"]), 10.0 * float(lh["loss_box_reg"]), rtol=1e-5)
+    np.testing.assert_allclose(float(losses["loss_rpn_cls"]), float(lh["loss_rpn_cls"]), rtol=1e-6)
+    # giou loc loss differs from the smooth-l1 one on the same params
+    sl1 = model.clone(rpn_box_reg_loss_type="smooth_l1", box_reg_loss_type="smooth_l1")
+    ls = sl1.apply(params, batch, jax.random.PRNGKey(1))
+    assert abs(float(ls["loss_rpn_loc"]) - float(losses["loss_rpn_loc"])) > 1e-6
