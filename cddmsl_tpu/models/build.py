@@ -215,6 +215,13 @@ def build_clip_fast_rcnn(cfg):
         num_classes=cfg.MODEL.ROI_HEADS.NUM_CLASSES,
         offline_rpn_nms_thresh=cfg.MODEL.CLIP.OFFLINE_RPN_NMS_THRESH,
         temperature=cfg.MODEL.CLIP.CLSS_TEMP,
+        focal_gamma=cfg.MODEL.CLIP.FOCAL_SCALED_LOSS,
+        bg_loss_weight=cfg.MODEL.CLIP.BG_CLS_LOSS_WEIGHT,
+        no_box_delta=cfg.MODEL.CLIP.NO_BOX_DELTA,
+        cls_agnostic_bbox_reg=cfg.MODEL.ROI_BOX_HEAD.CLS_AGNOSTIC_BBOX_REG,
+        score_thresh_test=cfg.MODEL.ROI_HEADS.SCORE_THRESH_TEST,
+        nms_thresh_test=cfg.MODEL.ROI_HEADS.NMS_THRESH_TEST,
+        detections_per_image=cfg.TEST.DETECTIONS_PER_IMAGE,
         pixel_mean=tuple(cfg.MODEL.PIXEL_MEAN),
         pixel_std=tuple(cfg.MODEL.PIXEL_STD),
         dtype=_dtype(cfg),

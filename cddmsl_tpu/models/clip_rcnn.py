@@ -55,6 +55,16 @@ class CLIPFastRCNN(nn.Module):
     rpn_post_nms_topk: Tuple[int, int] = (2000, 1000)
     offline_rpn_nms_thresh: float = 0.9  # MODEL.CLIP.OFFLINE_RPN_NMS_THRESH
     temperature: float = 0.01
+    # OVD recipe knobs (reference CLIP_fast_rcnn_R_50_C4_ovd*.yaml):
+    # focal-scaled CE + background down-weight at train, no-box-delta /
+    # score-thresh / cls-agnostic deltas at zero-shot inference
+    focal_gamma: Optional[float] = None  # MODEL.CLIP.FOCAL_SCALED_LOSS
+    bg_loss_weight: Optional[float] = None  # MODEL.CLIP.BG_CLS_LOSS_WEIGHT
+    no_box_delta: bool = False  # MODEL.CLIP.NO_BOX_DELTA
+    cls_agnostic_bbox_reg: bool = False
+    score_thresh_test: float = 0.05
+    nms_thresh_test: float = 0.5
+    detections_per_image: int = 100
     pixel_mean: Sequence[float] = (0.48145466, 0.4578275, 0.40821073)
     pixel_std: Sequence[float] = (0.26862954, 0.26130258, 0.27577711)
     # offline RPN uses d2/ImageNet pixel stats (reference handles dual
@@ -89,6 +99,13 @@ class CLIPFastRCNN(nn.Module):
             use_text_emb=True,
             emb_dim=self.embed_dim,
             temperature=self.temperature,
+            focal_gamma=self.focal_gamma,
+            bg_loss_weight=self.bg_loss_weight,
+            no_box_delta=self.no_box_delta,
+            cls_agnostic_bbox_reg=self.cls_agnostic_bbox_reg,
+            score_thresh_test=self.score_thresh_test,
+            nms_thresh_test=self.nms_thresh_test,
+            detections_per_image=self.detections_per_image,
             dtype=self.dtype,
         )
 

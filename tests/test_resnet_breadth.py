@@ -314,3 +314,37 @@ def test_all_coco_zoo_yamls_build():
             if fn.endswith(".yaml"):
                 m = build_model(_zoo_cfg(f"{sub}/{fn}"))
                 assert m is not None, fn
+
+
+def test_ovd_zsinf_config_e2e():
+    """CLIP_fast_rcnn_R_50_C4_ovd_zsinf: zero-shot CLIPFastRCNN from config
+    — NO_BOX_DELTA keeps RPN boxes verbatim at inference; focal/bg-weight
+    knobs propagate; a tiny instance runs inference end-to-end."""
+    import jax
+
+    from cddmsl_tpu.models import DetBatch, build_model
+    from cddmsl_tpu.models.rcnn import DetBatch as _DB  # same type
+
+    cfg = _zoo_cfg("COCO-InstanceSegmentation/CLIP_fast_rcnn_R_50_C4_ovd_zsinf.yaml")
+    m = build_model(cfg)
+    assert type(m).__name__ == "CLIPFastRCNN"
+    assert m.no_box_delta and m.cls_agnostic_bbox_reg
+    assert m.num_classes == 65 and m.offline_rpn_nms_thresh == 0.9
+    assert m.focal_gamma == 0.5 and m.bg_loss_weight == 0.2
+
+    tiny = m.clone(backbone_layers=(1, 1, 1, 1), backbone_width=16, embed_dim=512,
+                   offline_depth=10, rpn_post_nms_topk=(64, 32), detections_per_image=8)
+    rng = np.random.RandomState(0)
+    batch = DetBatch(
+        image=jnp.asarray(rng.rand(1, 64, 64, 3) * 255, jnp.float32),
+        image_sizes=jnp.asarray([[64, 64]], jnp.int32),
+        orig_sizes=jnp.asarray([[64, 64]], jnp.int32),
+        gt_boxes=jnp.asarray([[[8, 8, 30, 30]]], jnp.float32),
+        gt_classes=jnp.asarray([[0]], jnp.int32),
+        gt_valid=jnp.asarray([[True]]),
+    )
+    params = tiny.init(jax.random.PRNGKey(0), batch, jax.random.PRNGKey(1))
+    losses = tiny.apply(params, batch, jax.random.PRNGKey(2))
+    assert all(np.isfinite(float(v)) for v in losses.values()), losses
+    det = tiny.apply(params, batch, method=tiny.inference)
+    assert det.boxes.shape == (1, 8, 4)
