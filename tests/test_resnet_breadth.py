@@ -309,7 +309,7 @@ def test_all_coco_zoo_yamls_build():
     from cddmsl_tpu.models import build_model
 
     root = os.path.join(os.path.dirname(__file__), "..", "configs")
-    for sub in ("COCO-Detection", "COCO-InstanceSegmentation"):
+    for sub in ("COCO-Detection", "COCO-InstanceSegmentation", "Misc"):
         for fn in sorted(os.listdir(os.path.join(root, sub))):
             if fn.endswith(".yaml"):
                 m = build_model(_zoo_cfg(f"{sub}/{fn}"))
