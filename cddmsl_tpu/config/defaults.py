@@ -87,6 +87,11 @@ def get_default_cfg() -> CfgNode:
     _C.MODEL.ANCHOR_GENERATOR.ANGLES = [[-90, 0, 90]]
     _C.MODEL.ANCHOR_GENERATOR.OFFSET = 0.0
 
+    # ---------------- MODEL.PROPOSAL_GENERATOR ----------------
+    _C.MODEL.PROPOSAL_GENERATOR = CfgNode()
+    _C.MODEL.PROPOSAL_GENERATOR.NAME = "RPN"  # or "PrecomputedProposals"
+    _C.MODEL.PROPOSAL_GENERATOR.MIN_SIZE = 0
+
     # ---------------- MODEL.RPN ----------------
     _C.MODEL.RPN = CfgNode()
     _C.MODEL.RPN.HEAD_NAME = "StandardRPNHead"

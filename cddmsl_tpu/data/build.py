@@ -132,6 +132,7 @@ def pad_and_collate(
     with_trgt: bool = True,
     mask_stride: int = 0,
     num_keypoints: int = 0,
+    max_proposals: int = 0,
 ) -> DetBatch:
     b = len(samples)
     H, W = pad_hw
@@ -150,6 +151,9 @@ def pad_and_collate(
     gt_keypoints = (
         np.zeros((b, max_gt, num_keypoints, 3), np.float32) if num_keypoints else None
     )
+    prop_boxes = np.zeros((b, max_proposals, 4), np.float32) if max_proposals else None
+    prop_scores = np.full((b, max_proposals), -np.inf, np.float32) if max_proposals else None
+    prop_valid = np.zeros((b, max_proposals), bool) if max_proposals else None
     for i, s in enumerate(samples):
         img = s["image"]
         h, w = img.shape[:2]
@@ -171,6 +175,12 @@ def pad_and_collate(
             if gt_keypoints is not None and s.get("keypoints") is not None and len(s["keypoints"]):
                 kp = np.asarray(s["keypoints"], np.float32)[:n]
                 gt_keypoints[i, :n, : kp.shape[1]] = kp[:, :num_keypoints]
+        if prop_boxes is not None and s.get("proposal_boxes") is not None:
+            p = min(len(s["proposal_boxes"]), max_proposals)
+            if p:
+                prop_boxes[i, :p] = s["proposal_boxes"][:p]
+                prop_scores[i, :p] = s["proposal_objectness"][:p]
+                prop_valid[i, :p] = True
     import jax.numpy as jnp
 
     return DetBatch(
@@ -183,6 +193,9 @@ def pad_and_collate(
         image_trgt=jnp.asarray(images_t) if with_trgt else None,
         gt_masks=jnp.asarray(gt_masks) if gt_masks is not None else None,
         gt_keypoints=jnp.asarray(gt_keypoints) if gt_keypoints is not None else None,
+        proposal_boxes=jnp.asarray(prop_boxes) if prop_boxes is not None else None,
+        proposal_scores=jnp.asarray(prop_scores) if prop_scores is not None else None,
+        proposal_valid=jnp.asarray(prop_valid) if prop_valid is not None else None,
     )
 
 
@@ -285,6 +298,11 @@ def build_detection_train_loader(
     dicts = get_detection_dataset_dicts(
         cfg.DATASETS.TRAIN, cfg.DATALOADER.FILTER_EMPTY_ANNOTATIONS
     )
+    if cfg.MODEL.LOAD_PROPOSALS and cfg.DATASETS.PROPOSAL_FILES_TRAIN:
+        from .proposals import load_proposals_into_dataset
+
+        for pf in cfg.DATASETS.PROPOSAL_FILES_TRAIN:
+            dicts = load_proposals_into_dataset(dicts, pf)
     mapper = mapper or DatasetMapper(cfg, is_train=True)
     if cfg.DATALOADER.SAMPLER_TRAIN == "RepeatFactorTrainingSampler":
         sampler = RepeatFactorTrainingSampler(dicts, cfg.DATALOADER.REPEAT_THRESHOLD, seed=seed)
@@ -295,6 +313,7 @@ def build_detection_train_loader(
     max_gt = cfg.TPU.MAX_GT_BOXES
     mask_stride = cfg.TPU.MASK_CANVAS_STRIDE if cfg.MODEL.MASK_ON else 0
     num_kp = cfg.MODEL.ROI_KEYPOINT_HEAD.NUM_KEYPOINTS if cfg.MODEL.KEYPOINT_ON else 0
+    max_props = cfg.DATASETS.PRECOMPUTED_PROPOSAL_TOPK_TRAIN if cfg.MODEL.LOAD_PROPOSALS else 0
     bucket_ladder = [tuple(b) for b in cfg.TPU.PAD_BUCKETS]
     aspect_grouping = cfg.DATALOADER.ASPECT_RATIO_GROUPING
 
@@ -308,7 +327,7 @@ def build_detection_train_loader(
             if len(buckets[key]) == batch_size:
                 group, buckets[key] = buckets[key], []
                 yield pad_and_collate(group, key, max_gt, with_trgt=True, mask_stride=mask_stride,
-                                      num_keypoints=num_kp)
+                                      num_keypoints=num_kp, max_proposals=max_props)
 
     return iter(_Prefetcher(gen, depth=cfg.DATALOADER.NUM_WORKERS))
 
@@ -323,10 +342,19 @@ def build_detection_test_loader(
     Unlike the reference (batch=1 per GPU, build.py:623), TPU wants fixed
     batched shapes: default batch = MODEL.CLIP.IMS_PER_BATCH_TEST."""
     dicts = get_detection_dataset_dicts([dataset_name], filter_empty=False)
+    if cfg.MODEL.LOAD_PROPOSALS and cfg.DATASETS.PROPOSAL_FILES_TEST:
+        from .proposals import load_proposals_into_dataset
+
+        names = list(cfg.DATASETS.TEST)
+        pf_idx = names.index(dataset_name) if dataset_name in names else 0
+        files = list(cfg.DATASETS.PROPOSAL_FILES_TEST)
+        if pf_idx < len(files):
+            dicts = load_proposals_into_dataset(dicts, files[pf_idx])
     mapper = DatasetMapper(cfg, is_train=False)
     batch_size = batch_size or cfg.MODEL.CLIP.IMS_PER_BATCH_TEST
     pad_hw = tuple(cfg.TPU.PAD_SIZE_TEST)
     max_gt = cfg.TPU.MAX_GT_BOXES
+    max_props = cfg.DATASETS.PRECOMPUTED_PROPOSAL_TOPK_TEST if cfg.MODEL.LOAD_PROPOSALS else 0
 
     def gen():
         rng = np.random.RandomState(0)
@@ -340,14 +368,14 @@ def build_detection_test_loader(
             groups.setdefault(key, []).append(sample)
             metas.setdefault(key, []).append(d)
             if len(groups[key]) == batch_size:
-                yield pad_and_collate(groups[key], key, max_gt, with_trgt=False), metas[key]
+                yield pad_and_collate(groups[key], key, max_gt, with_trgt=False, max_proposals=max_props), metas[key]
                 groups[key], metas[key] = [], []
         for key, group in groups.items():
             if group:
                 meta = metas[key]
                 n = len(group)
                 group = group + [group[-1]] * (batch_size - n)
-                yield pad_and_collate(group, key, max_gt, with_trgt=False), meta
+                yield pad_and_collate(group, key, max_gt, with_trgt=False, max_proposals=max_props), meta
 
     return iter(_Prefetcher(gen, depth=4)), len(dicts)
 

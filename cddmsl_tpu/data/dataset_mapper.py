@@ -92,6 +92,14 @@ class DatasetMapper:
         self.image_format = cfg.INPUT.FORMAT
         self.use_instance_mask = cfg.MODEL.MASK_ON
         self.use_keypoint = cfg.MODEL.KEYPOINT_ON
+        # precomputed proposals ride the same TransformList
+        # (reference detection_utils.py transform_proposals)
+        self.load_proposals = cfg.MODEL.LOAD_PROPOSALS
+        self.proposal_topk = (
+            cfg.DATASETS.PRECOMPUTED_PROPOSAL_TOPK_TRAIN
+            if is_train
+            else cfg.DATASETS.PRECOMPUTED_PROPOSAL_TOPK_TEST
+        )
         self._hflip_indices = None
         if self.use_keypoint:
             # (reference DatasetMapper.from_config: keypoint_hflip_indices
@@ -119,6 +127,11 @@ class DatasetMapper:
             "orig_hw": np.asarray(orig_hw, np.int32),
             "image_id": d.get("image_id"),
         }
+
+        if self.load_proposals:
+            from .proposals import transform_proposals
+
+            out.update(transform_proposals(d, hw, tfms, self.proposal_topk))
 
         # paired translated view: same transforms (reference :159-161)
         if "data_dt_file_name" in d:

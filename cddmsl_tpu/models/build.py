@@ -176,6 +176,7 @@ def build_fpn_rcnn(cfg):
         cls_agnostic_bbox_reg=cfg.MODEL.ROI_BOX_HEAD.CLS_AGNOSTIC_BBOX_REG,
         mask_cls_agnostic=cfg.MODEL.ROI_MASK_HEAD.CLS_AGNOSTIC_MASK,
         dc5=cfg.MODEL.RESNETS.RES5_DILATION == 2,
+        load_proposals=cfg.MODEL.PROPOSAL_GENERATOR.NAME == "PrecomputedProposals",
         dtype=_dtype(cfg),
     )
 

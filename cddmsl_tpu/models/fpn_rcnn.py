@@ -89,6 +89,10 @@ class FPNRCNN(nn.Module):
     # stride-16 res5 is the ONE feature map — no FPN; the RPN (all 5 anchor
     # sizes on the single level) and the StandardROIHeads poolers read res5.
     dc5: bool = False
+    # Fast R-CNN mode (reference PROPOSAL_GENERATOR.NAME=PrecomputedProposals,
+    # fast_rcnn_R_50_FPN_1x.yaml): no RPN — proposals come precomputed in
+    # DetBatch.proposal_{boxes,scores,valid} via MODEL.LOAD_PROPOSALS
+    load_proposals: bool = False
     res2_out_channels: int = 256  # compile-light override (tests)
 
     def setup(self):
@@ -114,24 +118,25 @@ class FPNRCNN(nn.Module):
                 norm=self.fpn_norm,
                 dtype=self.dtype,
             )
-        self.proposal_generator = FPNRPN(
-            in_channels=res5_channels if self.dc5 else self.fpn_out_channels,
-            strides=(16,) if self.dc5 else (4, 8, 16, 32, 64),
-            anchor_sizes=(tuple(self.anchor_sizes),) if self.dc5 else tuple(self.anchor_sizes),
-            anchor_aspect_ratios=tuple(self.anchor_aspect_ratios),
-            batch_size_per_image=self.rpn_batch_size_per_image,
-            positive_fraction=self.rpn_positive_fraction,
-            pre_nms_topk_train=self.rpn_pre_nms_topk[0],
-            pre_nms_topk_test=self.rpn_pre_nms_topk[1],
-            post_nms_topk_train=self.rpn_post_nms_topk[0],
-            post_nms_topk_test=self.rpn_post_nms_topk[1],
-            nms_thresh=self.rpn_nms_thresh,
-            loss_weight=self.rpn_loss_weight,
-            smooth_l1_beta=self.rpn_smooth_l1_beta,
-            box_reg_loss_type=self.rpn_box_reg_loss_type,
-            box_reg_loss_weight=self.rpn_box_reg_loss_weight,
-            dtype=self.dtype,
-        )
+        if not self.load_proposals:
+            self.proposal_generator = FPNRPN(
+                in_channels=res5_channels if self.dc5 else self.fpn_out_channels,
+                strides=(16,) if self.dc5 else (4, 8, 16, 32, 64),
+                anchor_sizes=(tuple(self.anchor_sizes),) if self.dc5 else tuple(self.anchor_sizes),
+                anchor_aspect_ratios=tuple(self.anchor_aspect_ratios),
+                batch_size_per_image=self.rpn_batch_size_per_image,
+                positive_fraction=self.rpn_positive_fraction,
+                pre_nms_topk_train=self.rpn_pre_nms_topk[0],
+                pre_nms_topk_test=self.rpn_pre_nms_topk[1],
+                post_nms_topk_train=self.rpn_post_nms_topk[0],
+                post_nms_topk_test=self.rpn_post_nms_topk[1],
+                nms_thresh=self.rpn_nms_thresh,
+                loss_weight=self.rpn_loss_weight,
+                smooth_l1_beta=self.rpn_smooth_l1_beta,
+                box_reg_loss_type=self.rpn_box_reg_loss_type,
+                box_reg_loss_weight=self.rpn_box_reg_loss_weight,
+                dtype=self.dtype,
+            )
         self.roi_heads = CLIPStandardROIHeads(
             pooler_scales=(1 / 16,) if self.dc5 else (1 / 4, 1 / 8, 1 / 16, 1 / 32),
             num_classes=self.num_classes,
@@ -181,13 +186,36 @@ class FPNRCNN(nn.Module):
         rpn_levels = head_levels + [feats["p6"]]
         return head_levels, rpn_levels
 
+    def _batch_proposals(self, batch: DetBatch):
+        """Precomputed proposals as a Proposals pytree (reference
+        PrecomputedProposals: boxes came clipped/topk'd from the mapper)."""
+        from .rpn import Proposals
+
+        assert batch.proposal_boxes is not None, (
+            "load_proposals=True needs DetBatch.proposal_boxes (set "
+            "MODEL.LOAD_PROPOSALS + DATASETS.PROPOSAL_FILES_*)"
+        )
+        scores = (
+            batch.proposal_scores
+            if batch.proposal_scores is not None
+            else jnp.zeros(batch.proposal_boxes.shape[:2], jnp.float32)
+        )
+        return Proposals(
+            boxes=batch.proposal_boxes,
+            scores=jnp.where(batch.proposal_valid, scores, -jnp.inf),
+            valid=batch.proposal_valid,
+        )
+
     def supervised_losses(self, batch: DetBatch, rng: jax.Array) -> Dict[str, jnp.ndarray]:
         head_levels, rpn_levels = self._features(batch.image)
         k1, k2 = jax.random.split(rng)
-        proposals, rpn_losses = self.proposal_generator(
-            rpn_levels, batch.image_sizes, training=True,
-            gt_boxes=batch.gt_boxes, gt_valid=batch.gt_valid, rng=k1,
-        )
+        if self.load_proposals:
+            proposals, rpn_losses = self._batch_proposals(batch), {}
+        else:
+            proposals, rpn_losses = self.proposal_generator(
+                rpn_levels, batch.image_sizes, training=True,
+                gt_boxes=batch.gt_boxes, gt_valid=batch.gt_valid, rng=k1,
+            )
         _, det_losses = self.roi_heads(
             head_levels, proposals, batch.image_sizes, training=True,
             gt_boxes=batch.gt_boxes, gt_classes=batch.gt_classes,
@@ -220,7 +248,10 @@ class FPNRCNN(nn.Module):
 
     def inference(self, batch: DetBatch, do_postprocess: bool = True) -> DetectionResult:
         head_levels, rpn_levels = self._features(batch.image)
-        proposals, _ = self.proposal_generator(rpn_levels, batch.image_sizes, training=False)
+        if self.load_proposals:
+            proposals = self._batch_proposals(batch)
+        else:
+            proposals, _ = self.proposal_generator(rpn_levels, batch.image_sizes, training=False)
         detections, _ = self.roi_heads(head_levels, proposals, batch.image_sizes, training=False)
         if do_postprocess:
             # detector_postprocess (reference rcnn.py:770-784)

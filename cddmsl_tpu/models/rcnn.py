@@ -58,6 +58,13 @@ class DetBatch(NamedTuple):
     # (B, G, K, 3) (x, y, vis) GT keypoints in canvas coords (KEYPOINT_ON;
     # reference structures/keypoints.py Keypoints)
     gt_keypoints: Optional[jnp.ndarray] = None
+    # precomputed proposals (MODEL.LOAD_PROPOSALS, reference
+    # proposal_generator PrecomputedProposals + data/detection_utils.py
+    # transform_proposals): (B, P, 4) canvas-coord boxes, (B, P) objectness
+    # logits, (B, P) validity
+    proposal_boxes: Optional[jnp.ndarray] = None
+    proposal_scores: Optional[jnp.ndarray] = None
+    proposal_valid: Optional[jnp.ndarray] = None
 
 
 def infonce_bidirectional(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
