@@ -309,7 +309,16 @@ def test_all_coco_zoo_yamls_build():
     from cddmsl_tpu.models import build_model
 
     root = os.path.join(os.path.dirname(__file__), "..", "configs")
-    for sub in ("COCO-Detection", "COCO-InstanceSegmentation", "Misc"):
+    for sub in (
+        "COCO-Detection",
+        "COCO-InstanceSegmentation",
+        "COCO-Keypoints",
+        "COCO-PanopticSegmentation",
+        "LVISv1-InstanceSegmentation",
+        "LVISv0.5-InstanceSegmentation",
+        "Detectron1-Comparisons",
+        "Misc",
+    ):
         for fn in sorted(os.listdir(os.path.join(root, sub))):
             if fn.endswith(".yaml"):
                 m = build_model(_zoo_cfg(f"{sub}/{fn}"))
