@@ -100,6 +100,36 @@ def register_all(root: str = None) -> None:
             os.path.join(root, "coco", f"{split}2017"),
         )
 
+    # ---- COCO open-vocabulary splits (reference builtin.py:50-56
+    # _PREDEFINED_SPLITS_COCO["coco_ovd"]): 48-base ("b") / 17-novel ("t")
+    # / 65-all annotation subsets for the RegionCLIP OVD benchmark; the
+    # 65-class evaluator reports AP50_split_{target,base,all}
+    # (evaluation/coco_eval.py) ----
+    for ovd_split, img_split in (
+        ("ovd_all_train", "train"), ("ovd_b_train", "train"), ("ovd_t_train", "train"),
+        ("ovd_all_test", "val"), ("ovd_b_test", "val"), ("ovd_t_test", "val"),
+    ):
+        register_coco_instances(
+            f"coco_2017_{ovd_split}",
+            os.path.join(
+                root, "coco", "annotations",
+                f"ovd_ins_{img_split}2017_{ovd_split.split('_')[1]}.json",
+            ),
+            os.path.join(root, "coco", f"{img_split}2017"),
+        )
+
+    # ---- COCO panoptic (reference builtin.py register_all_coco panoptic
+    # rows; evaluator_type coco_panoptic_seg -> PQ/SQ/RQ) ----
+    from .coco_panoptic import register_coco_panoptic
+
+    for split in ("train", "val"):
+        register_coco_panoptic(
+            f"coco_2017_{split}_panoptic",
+            os.path.join(root, "coco", "annotations", f"panoptic_{split}2017.json"),
+            os.path.join(root, "coco", f"{split}2017"),
+            os.path.join(root, "coco", f"panoptic_{split}2017"),
+        )
+
     # ---- LVIS v1 + v0.5 (reference builtin.py register_all_lvis) ----
     from .lvis import register_lvis_instances
 

@@ -145,6 +145,17 @@ def build_evaluator(cfg, dataset_name: str):
         from ..evaluation.sem_seg_eval import SemSegEvaluator
 
         return SemSegEvaluator(dataset_name)
+    if ev_type == "coco_panoptic_seg":
+        # PQ/SQ/RQ (reference tools/train_net.py builds COCOPanopticEvaluator
+        # for this type; fed by inference_on_dataset_panoptic, which
+        # host-combines PanopticFPN's (instances, sem_seg) output)
+        from ..evaluation.panoptic_eval import COCOPanopticEvaluator
+
+        return COCOPanopticEvaluator(dataset_name, output_dir=cfg.OUTPUT_DIR or None)
+    if ev_type == "rotated_coco":
+        from ..evaluation.rotated_coco_eval import RotatedCOCOEvaluator
+
+        return RotatedCOCOEvaluator(dataset_name)
     raise NotImplementedError(f"evaluator type {ev_type}")
 
 

@@ -164,6 +164,19 @@ class COCOEvaluator:
     under keys 'bbox' (and 'segm' when tasks include it — reference
     coco_evaluation.py:_tasks_from_predictions / MASK_ON)."""
 
+    # box layout hooks, overridden by RotatedCOCOEvaluator (XYWHA, dim 5)
+    box_dim = 4
+
+    def _box_area(self, boxes: np.ndarray) -> np.ndarray:
+        if len(boxes) == 0:
+            return np.zeros(0)
+        return (boxes[:, 2] - boxes[:, 0]) * (boxes[:, 3] - boxes[:, 1])
+
+    def _box_iou(self, dets, gts, iscrowd):
+        """Return a (D, G) IoU matrix for the bbox task, or None to let
+        _eval_image compute axis-aligned XYXY IoU (C++-kernel eligible)."""
+        return None
+
     def __init__(self, dataset_name: str, tasks: Sequence[str] = ("bbox",),
                  output_json: Optional[str] = None):
         meta = MetadataCatalog.get(dataset_name)
@@ -269,6 +282,7 @@ class COCOEvaluator:
         ranges = KP_AREA_RANGES if task == "keypoints" else AREA_RANGES
         ap_per_class = {area: [] for area in ranges}
         ap50, ap75 = [], []
+        ap50_by_class = {}  # class idx -> AP50, for the OVD split metrics
         named = {}  # per-category AP (reference COCOEvaluator "AP-{cat}")
         for c in range(self.num_classes):
             has_gt = any(len(v) for v in self._gts.get(c, {}).values())
@@ -287,7 +301,34 @@ class COCOEvaluator:
                     if precisions is not None:
                         ap50.append(float(np.mean(precisions[0])))
                         ap75.append(float(np.mean(precisions[5])))
+                        ap50_by_class[c] = ap50[-1]
+        # Generalized zero-shot (OVD) splits: when evaluating the 65-class
+        # open-vocabulary setting, report AP50 over the novel ("target"),
+        # base, and all splits (reference coco_evaluation.py:344-374, the
+        # OVR-CNN protocol; the reference only logs these — here they are
+        # returned as metrics, scaled x100 like the rest)
+        splits = {}
+        if task == "bbox" and self.class_names and len(self.class_names) == 65:
+            from ..data.datasets.coco_zeroshot_categories import (
+                COCO_OVD_ALL_CLS,
+                COCO_SEEN_CLS,
+                COCO_UNSEEN_CLS,
+            )
+
+            for split, names in (
+                ("target", COCO_UNSEEN_CLS),
+                ("base", COCO_SEEN_CLS),
+                ("all", COCO_OVD_ALL_CLS),
+            ):
+                wanted = set(names)
+                vals = [
+                    v for c, v in ap50_by_class.items() if self.class_names[c] in wanted
+                ]
+                splits[f"AP50_split_{split}"] = (
+                    100 * float(np.mean(vals)) if vals else -1.0
+                )
         return {
+            **splits,
             "AP": 100 * float(np.nanmean(ap_per_class["all"])) if ap_per_class["all"] else float("nan"),
             "AP50": 100 * float(np.mean(ap50)) if ap50 else float("nan"),
             "AP75": 100 * float(np.mean(ap75)) if ap75 else float("nan"),
@@ -305,14 +346,14 @@ class COCOEvaluator:
         gt_imgs = self._gts.get(c, {})
         for img in self._images:
             gt_list = gt_imgs.get(img, [])
-            gts = np.array([b for b, _, _ in gt_list]).reshape(-1, 4)
+            gts = np.array([b for b, _, _ in gt_list]).reshape(-1, self.box_dim)
             iscrowd = np.array([cr for _, cr, _ in gt_list], bool)
             if task == "segm":
                 from .masks import rle_area
 
                 areas = np.array([rle_area(r) if r else 0.0 for _, _, r in gt_list])
             else:
-                areas = (gts[:, 2] - gts[:, 0]) * (gts[:, 3] - gts[:, 1]) if len(gts) else np.zeros(0)
+                areas = self._box_area(gts)
             gt_ignore = iscrowd | (areas < area_lo) | (areas > area_hi)
             if task == "keypoints":
                 # pycocotools _prepare: gts without labeled keypoints are
@@ -327,9 +368,9 @@ class COCOEvaluator:
             det_list = det_imgs.get(img, [])
             if not det_list:
                 continue
-            det_boxes = np.array([b for _, b, _ in det_list]).reshape(-1, 4)
+            det_boxes = np.array([b for _, b, _ in det_list]).reshape(-1, self.box_dim)
             det_scores = np.array([s for s, _, _ in det_list])
-            ious = None
+            ious = self._box_iou(det_boxes, gts, iscrowd) if task == "bbox" else None
             if task == "segm":
                 from .masks import mask_iou_matrix, rle_area
 
@@ -353,7 +394,7 @@ class COCOEvaluator:
             if task == "segm":
                 d_areas = np.array([rle_area(r) for _, _, r in det_list], np.float64)
             else:
-                d_areas = (det_boxes[:, 2] - det_boxes[:, 0]) * (det_boxes[:, 3] - det_boxes[:, 1])
+                d_areas = self._box_area(det_boxes)
             order = np.argsort(-det_scores, kind="stable")
             out_of_range = ((d_areas < area_lo) | (d_areas > area_hi))[order]
             ign = ign | (out_of_range[None, :] & ~tp)
