@@ -149,3 +149,8 @@ def register_all(root: str = None) -> None:
             os.path.join(city, "leftImg8bit", split),
             os.path.join(city, "gtFine", split),
         )
+
+    # ---- cityscapes panoptic (reference cityscapes_panoptic.py:127-188) ----
+    from .cityscapes_panoptic import register_all_cityscapes_panoptic
+
+    register_all_cityscapes_panoptic(root)

@@ -145,7 +145,7 @@ def build_evaluator(cfg, dataset_name: str):
         from ..evaluation.sem_seg_eval import SemSegEvaluator
 
         return SemSegEvaluator(dataset_name)
-    if ev_type == "coco_panoptic_seg":
+    if ev_type in ("coco_panoptic_seg", "cityscapes_panoptic_seg"):
         # PQ/SQ/RQ (reference tools/train_net.py builds COCOPanopticEvaluator
         # for this type; fed by inference_on_dataset_panoptic, which
         # host-combines PanopticFPN's (instances, sem_seg) output)
