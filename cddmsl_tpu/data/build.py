@@ -35,7 +35,9 @@ def get_detection_dataset_dicts(names: Sequence[str], filter_empty: bool = True)
     dicts: List[dict] = []
     for name in names:
         dicts.extend(DatasetCatalog.get(name))
-    if filter_empty:
+    if filter_empty and dicts and "annotations" in dicts[0]:
+        # reference build.py:212 filters only instance-annotated datasets;
+        # panoptic dicts carry GT in segments_info/pan_seg_file_name instead
         dicts = [d for d in dicts if len(d.get("annotations", []))]
     assert dicts, f"No valid images found in {names}"
     return dicts
@@ -154,6 +156,11 @@ def pad_and_collate(
     prop_boxes = np.zeros((b, max_proposals, 4), np.float32) if max_proposals else None
     prop_scores = np.full((b, max_proposals), -np.inf, np.float32) if max_proposals else None
     prop_valid = np.zeros((b, max_proposals), bool) if max_proposals else None
+    # semantic target rides along when the mapper emits it (panoptic/semseg
+    # training); canvas padding is the ignore label
+    sem_seg = (
+        np.full((b, H, W), 255, np.int32) if any("sem_seg" in s for s in samples) else None
+    )
     for i, s in enumerate(samples):
         img = s["image"]
         h, w = img.shape[:2]
@@ -181,6 +188,8 @@ def pad_and_collate(
                 prop_boxes[i, :p] = s["proposal_boxes"][:p]
                 prop_scores[i, :p] = s["proposal_objectness"][:p]
                 prop_valid[i, :p] = True
+        if sem_seg is not None and s.get("sem_seg") is not None:
+            sem_seg[i, :h, :w] = s["sem_seg"]
     import jax.numpy as jnp
 
     return DetBatch(
@@ -196,6 +205,7 @@ def pad_and_collate(
         proposal_boxes=jnp.asarray(prop_boxes) if prop_boxes is not None else None,
         proposal_scores=jnp.asarray(prop_scores) if prop_scores is not None else None,
         proposal_valid=jnp.asarray(prop_valid) if prop_valid is not None else None,
+        sem_seg=jnp.asarray(sem_seg) if sem_seg is not None else None,
     )
 
 
@@ -303,6 +313,18 @@ def build_detection_train_loader(
 
         for pf in cfg.DATASETS.PROPOSAL_FILES_TRAIN:
             dicts = load_proposals_into_dataset(dicts, pf)
+    if mapper is None and dicts and "pan_seg_file_name" in dicts[0]:
+        # panoptic datasets carry their GT in the panoptic PNG; the panoptic
+        # mapper derives thing boxes + the sem_seg target from it (reference
+        # DatasetMapper's pan_seg branch)
+        from .dataset_mapper import PanopticDatasetMapper
+
+        mapper = PanopticDatasetMapper(cfg, is_train=True)
+    elif mapper is None and dicts and "sem_seg_file_name" in dicts[0] and "annotations" not in dicts[0]:
+        # pure sem-seg datasets (reference DatasetMapper sem_seg branch)
+        from .dataset_mapper import SemSegDatasetMapper
+
+        mapper = SemSegDatasetMapper(cfg, is_train=True)
     mapper = mapper or DatasetMapper(cfg, is_train=True)
     if cfg.DATALOADER.SAMPLER_TRAIN == "RepeatFactorTrainingSampler":
         sampler = RepeatFactorTrainingSampler(dicts, cfg.DATALOADER.REPEAT_THRESHOLD, seed=seed)

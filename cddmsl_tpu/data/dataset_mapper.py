@@ -176,6 +176,34 @@ class DatasetMapperTwoCropSeparate:
         return strong, weak
 
 
+class SemSegDatasetMapper:
+    """Semantic-segmentation mapper (reference DatasetMapper's
+    sem_seg_file_name branch): image + labelTrainIds PNG through the shared
+    geometric transforms (NEAREST for the label map); no instances."""
+
+    def __init__(self, cfg, is_train: bool = True):
+        self.is_train = is_train
+        self.augmentations = build_augmentation(cfg, is_train)
+        self.image_format = cfg.INPUT.FORMAT
+
+    def __call__(self, dataset_dict: dict, rng: np.random.RandomState) -> dict:
+        d = dict(dataset_dict)
+        image = read_image(d["file_name"], self.image_format)
+        orig_hw = image.shape[:2]
+        image, tfms = apply_augmentations(self.augmentations, image, rng)
+        sem = np.asarray(Image.open(d["sem_seg_file_name"]), np.int32)
+        sem_t = tfms.apply_segmentation(sem)
+        return {
+            "image": image,
+            "hw": np.asarray(image.shape[:2], np.int32),
+            "orig_hw": np.asarray(orig_hw, np.int32),
+            "image_id": d.get("image_id"),
+            "boxes": np.zeros((0, 4), np.float32),
+            "classes": np.zeros((0,), np.int32),
+            "sem_seg": sem_t.astype(np.int32),
+        }
+
+
 class PanopticDatasetMapper:
     """Panoptic training mapper (reference dataset_mapper.py panoptic path):
     reads the image + panoptic PNG, applies the shared geometric transforms,

@@ -154,3 +154,14 @@ def register_all(root: str = None) -> None:
     from .cityscapes_panoptic import register_all_cityscapes_panoptic
 
     register_all_cityscapes_panoptic(root)
+
+    # ---- cityscapes semantic (reference builtin.py register_all_cityscapes
+    # sem_seg rows: cityscapes_fine_sem_seg_{train,val}) ----
+    from .cityscapes import register_cityscapes_semantic
+
+    for split in ("train", "val"):
+        register_cityscapes_semantic(
+            f"cityscapes_fine_sem_seg_{split}",
+            os.path.join(city, "leftImg8bit", split),
+            os.path.join(city, "gtFine", split),
+        )

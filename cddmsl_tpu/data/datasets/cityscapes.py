@@ -95,6 +95,50 @@ def register_cityscapes(name, image_dir, gt_dir, class_names=CITYSCAPES_THING_CL
     )
 
 
+def load_cityscapes_semantic(image_dir: str, gt_dir: str) -> List[dict]:
+    """Sem-seg dicts: each image paired with its *_gtFine_labelTrainIds.png
+    (reference cityscapes.py load_cityscapes_semantic; labels are the 19
+    trainIds, 255 = ignore)."""
+    dicts = []
+    for city in sorted(os.listdir(image_dir)):
+        city_img_dir = os.path.join(image_dir, city)
+        if not os.path.isdir(city_img_dir):
+            continue
+        for basename in sorted(os.listdir(city_img_dir)):
+            if not basename.endswith("leftImg8bit.png"):
+                continue
+            prefix = basename[: -len("leftImg8bit.png")]
+            label_file = os.path.join(gt_dir, city, prefix + "gtFine_labelTrainIds.png")
+            dicts.append(
+                {
+                    "file_name": os.path.join(city_img_dir, basename),
+                    "sem_seg_file_name": label_file,
+                    "image_id": prefix.rstrip("_"),
+                }
+            )
+    assert dicts, f"no cityscapes images under {image_dir}"
+    if not os.path.isfile(dicts[0]["sem_seg_file_name"]):
+        raise FileNotFoundError(
+            f"{dicts[0]['sem_seg_file_name']} — generate labelTrainIds.png with "
+            "cityscapesscripts createTrainIdLabelImgs.py"
+        )
+    return dicts
+
+
+def register_cityscapes_semantic(name: str, image_dir: str, gt_dir: str) -> None:
+    from ..catalog import DatasetCatalog, MetadataCatalog
+    from .cityscapes_panoptic import CITYSCAPES_CATEGORIES
+
+    DatasetCatalog.register(name, lambda: load_cityscapes_semantic(image_dir, gt_dir))
+    MetadataCatalog.get(name).set(
+        stuff_classes=[k["name"] for k in CITYSCAPES_CATEGORIES],
+        image_dir=image_dir,
+        gt_dir=gt_dir,
+        ignore_label=255,
+        evaluator_type="sem_seg",
+    )
+
+
 def register_cityscapes_DG(
     name, image_dir, gt_dir, foggy_image_dir, beta=0.02, class_names=CITYSCAPES_THING_CLASSES
 ):

@@ -153,6 +153,73 @@ def make_synthetic_coco(
     return json_path, img_root
 
 
+def make_synthetic_panoptic(root: str, n: int = 6, seed: int = 0) -> Tuple[str, str, str]:
+    """Deterministic COCO-panoptic fixture: one thing rectangle per image on
+    a stuff background, id-encoded panoptic PNGs + json. Returns
+    (json_path, image_root, panoptic_root)."""
+    import json
+
+    from PIL import Image
+
+    rng = np.random.RandomState(seed)
+    h, w = _FIXTURE_HW
+    img_dir = os.path.join(root, "pan_synth", "images")
+    pan_dir = os.path.join(root, "pan_synth", "panoptic")
+    os.makedirs(img_dir, exist_ok=True)
+    os.makedirs(pan_dir, exist_ok=True)
+    images, anns = [], []
+    for i in range(n):
+        fid = f"{i:06d}"
+        img = (rng.rand(h, w, 3) * 60).astype(np.uint8)
+        ids = np.full((h, w), 2, np.int32)  # stuff background
+        bw, bh = 40, 32
+        x0 = int(rng.rand() * (w - bw - 2)) + 1
+        y0 = int(rng.rand() * (h - bh - 2)) + 1
+        cat = 1 + (i % 2)
+        ids[y0 : y0 + bh, x0 : x0 + bw] = 1
+        img[y0 : y0 + bh, x0 : x0 + bw] = 255 if cat == 1 else 160
+        Image.fromarray(img).save(os.path.join(img_dir, fid + ".jpg"))
+        png = np.stack([ids % 256, ids // 256, ids // 65536], axis=-1).astype(np.uint8)
+        Image.fromarray(png).save(os.path.join(pan_dir, fid + ".png"))
+        images.append({"id": i, "height": h, "width": w, "file_name": fid + ".jpg"})
+        anns.append(
+            {
+                "image_id": i,
+                "file_name": fid + ".png",
+                "segments_info": [
+                    {"id": 1, "category_id": cat, "iscrowd": 0,
+                     "bbox": [x0, y0, bw, bh], "area": bw * bh},
+                    {"id": 2, "category_id": 100, "iscrowd": 0,
+                     "bbox": [0, 0, w, h], "area": h * w - bw * bh},
+                ],
+            }
+        )
+    j = {
+        "categories": [
+            {"id": 1, "name": "thing_a", "isthing": 1},
+            {"id": 2, "name": "thing_b", "isthing": 1},
+            {"id": 100, "name": "stuff_x", "isthing": 0},
+        ],
+        "images": images,
+        "annotations": anns,
+    }
+    json_path = os.path.join(root, "pan_synth", "panoptic.json")
+    with open(json_path, "w") as f:
+        json.dump(j, f)
+    return json_path, img_dir, pan_dir
+
+
+def register_synthetic_panoptic(root: str, prefix: str = "synthetic_panoptic") -> None:
+    """Create the panoptic fixture and register `{prefix}_train`/`{prefix}_val`."""
+    from ..catalog import DatasetCatalog
+    from .coco_panoptic import register_coco_panoptic
+
+    json_path, img_dir, pan_dir = make_synthetic_panoptic(root)
+    for name in (f"{prefix}_train", f"{prefix}_val"):
+        if name not in DatasetCatalog:
+            register_coco_panoptic(name, json_path, img_dir, pan_dir)
+
+
 def register_synthetic_coco(
     root: str, prefix: str = "synthetic_coco", with_keypoints: bool = False
 ) -> None:

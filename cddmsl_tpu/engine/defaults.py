@@ -485,9 +485,35 @@ class DefaultTrainer:
         for dataset_name in cfg.DATASETS.TEST:
             loader, n = build_detection_test_loader(cfg, dataset_name, batch_size=eval_bs)
             evaluator = build_evaluator(cfg, dataset_name)
-            res = inference_on_dataset(
-                eval_step, params, loader, n, evaluator, place_fn=place_fn
-            )
+            from ..evaluation.panoptic_eval import COCOPanopticEvaluator
+            from ..evaluation.sem_seg_eval import SemSegEvaluator
+
+            if isinstance(evaluator, COCOPanopticEvaluator):
+                # PanopticFPN eval: (instances, sem_seg) -> host combine ->
+                # PQ (reference Trainer.test + COCOPanopticEvaluator)
+                from ..evaluation.panoptic_eval import inference_on_dataset_panoptic
+
+                comb = cfg.MODEL.PANOPTIC_FPN.COMBINE
+                res = inference_on_dataset_panoptic(
+                    eval_step, params, loader, evaluator,
+                    combine_kwargs=dict(
+                        overlap_threshold=comb.OVERLAP_THRESH,
+                        stuff_area_limit=comb.STUFF_AREA_LIMIT,
+                        instances_score_thresh=comb.INSTANCES_CONFIDENCE_THRESH,
+                    ),
+                    place_fn=place_fn,
+                )
+            elif isinstance(evaluator, SemSegEvaluator):
+                # SemanticSegmentor eval: (B,H,W) maps vs labelTrainIds PNGs
+                from ..evaluation.sem_seg_eval import inference_on_dataset_semseg
+
+                res = inference_on_dataset_semseg(
+                    eval_step, params, loader, evaluator, place_fn=place_fn
+                )
+            else:
+                res = inference_on_dataset(
+                    eval_step, params, loader, n, evaluator, place_fn=place_fn
+                )
             results[dataset_name] = res
             logger.info("Results on %s:", dataset_name)
             print_csv_format(res)

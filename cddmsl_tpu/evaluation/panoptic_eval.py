@@ -225,35 +225,77 @@ class COCOPanopticEvaluator:
         return {"panoptic_seg": out}
 
 
+def _nearest_resize(m: np.ndarray, hw) -> np.ndarray:
+    """(h, w) int map -> (H, W) by nearest (half-pixel centers)."""
+    H, W = int(hw[0]), int(hw[1])
+    h, w = m.shape
+    if (h, w) == (H, W):
+        return m
+    yi = np.minimum(((np.arange(H) + 0.5) * h / H).astype(np.int64), h - 1)
+    xi = np.minimum(((np.arange(W) + 0.5) * w / W).astype(np.int64), w - 1)
+    return m[yi][:, xi]
+
+
+def _load_gt_panoptic(meta: dict):
+    """GT (id map, segments_info) from a panoptic dataset dict: either
+    preloaded `pan_seg_ids` or the panoptic PNG at `pan_seg_file_name`
+    (rgb2id decode — data/datasets/coco_panoptic.py)."""
+    if "pan_seg_ids" in meta:
+        return np.asarray(meta["pan_seg_ids"]), meta["segments_info"]
+    if "pan_seg_file_name" in meta:
+        from PIL import Image
+
+        from ..data.datasets.coco_panoptic import rgb2id
+
+        png = np.asarray(Image.open(meta["pan_seg_file_name"]).convert("RGB"))
+        return rgb2id(png), meta["segments_info"]
+    return None, None
+
+
 def inference_on_dataset_panoptic(
     panoptic_infer,  # (params, DetBatch) -> (DetectionResult, sem_seg argmax)
     params,
     data_loader,
     evaluator: COCOPanopticEvaluator,
     combine_kwargs: Optional[dict] = None,
+    place_fn=None,
 ) -> Dict[str, Dict[str, float]]:
     """Panoptic analogue of evaluation/evaluator.py inference_on_dataset:
-    runs the jitted PanopticFPN inference, host-combines instances + stuff
-    into an id map (combine_semantic_and_instance_outputs), feeds the PQ
-    evaluator. GT comes from each meta's `pan_seg_png` (H, W) ids +
-    `segments_info` (attached by the panoptic test loader).
+    runs the jitted PanopticFPN inference, postprocesses to original-image
+    coords on host (crop the padded sem-seg to the true image size, nearest-
+    resize to the original resolution, rescale boxes — reference
+    panoptic_fpn.py inference + detector_postprocess/sem_seg_postprocess),
+    host-combines instances + stuff into an id map
+    (combine_semantic_and_instance_outputs), and feeds the PQ evaluator.
+    GT comes from the panoptic PNG referenced by each meta
+    (`pan_seg_file_name` + `segments_info`, or preloaded `pan_seg_ids`).
     """
     from ..models.panoptic_fpn import combine_semantic_and_instance_outputs
 
     evaluator.reset()
     kw = combine_kwargs or {}
     for batch, metas in data_loader:
+        if place_fn is not None:
+            batch = place_fn(batch)
         det, sem_seg = panoptic_infer(params, batch)
         boxes = np.asarray(det.boxes)
         scores = np.asarray(det.scores)
         classes = np.asarray(det.classes)
         valid = np.asarray(det.valid)
         sem = np.asarray(sem_seg)
+        sizes = np.asarray(batch.image_sizes)
+        origs = np.asarray(batch.orig_sizes)
         for i, meta in enumerate(metas):
+            h, w = sizes[i]
+            oh, ow = origs[i]
+            sem_i = _nearest_resize(sem[i][:h, :w], (oh, ow))
+            sx, sy = ow / max(w, 1), oh / max(h, 1)
+            boxes_i = boxes[i] * np.array([sx, sy, sx, sy], np.float32)
             pan, segs = combine_semantic_and_instance_outputs(
-                boxes[i], scores[i], classes[i], valid[i], sem[i], **kw
+                boxes_i, scores[i], classes[i], valid[i], sem_i, **kw
             )
             evaluator.process(meta["image_id"], pan, segs)
-            if "pan_seg_ids" in meta:
-                evaluator.process_gt(meta["image_id"], meta["pan_seg_ids"], meta["segments_info"])
+            gt_map, gt_segs = _load_gt_panoptic(meta)
+            if gt_map is not None:
+                evaluator.process_gt(meta["image_id"], gt_map, gt_segs)
     return evaluator.evaluate()

@@ -7,6 +7,42 @@ from typing import Dict, Optional, Sequence
 import numpy as np
 
 
+def inference_on_dataset_semseg(
+    semseg_infer,  # (params, DetBatch) -> (B, H, W) class maps (jitted)
+    params,
+    data_loader,
+    evaluator: "SemSegEvaluator",
+    place_fn=None,
+) -> Dict[str, Dict[str, float]]:
+    """Sem-seg analogue of evaluator.py inference_on_dataset: run the jitted
+    SemanticSegmentor inference, crop each padded prediction to its true
+    image size, nearest-resize to the original resolution (reference
+    sem_seg_postprocess), and score against the labelTrainIds PNG referenced
+    by each meta (`sem_seg_file_name`, or a preloaded `sem_seg_gt` array)."""
+    from .panoptic_eval import _nearest_resize
+
+    evaluator.reset()
+    for batch, metas in data_loader:
+        if place_fn is not None:
+            batch = place_fn(batch)
+        pred = np.asarray(semseg_infer(params, batch))
+        sizes = np.asarray(batch.image_sizes)
+        origs = np.asarray(batch.orig_sizes)
+        for i, meta in enumerate(metas):
+            h, w = sizes[i]
+            pred_i = _nearest_resize(pred[i][:h, :w], origs[i])
+            if "sem_seg_gt" in meta:
+                gt = np.asarray(meta["sem_seg_gt"])
+            elif "sem_seg_file_name" in meta:
+                from PIL import Image
+
+                gt = np.asarray(Image.open(meta["sem_seg_file_name"]), np.int32)
+            else:
+                continue
+            evaluator.process(pred_i, gt)
+    return evaluator.evaluate()
+
+
 class SemSegEvaluator:
     def __init__(self, dataset_name: str = "", num_classes: int = 0,
                  ignore_label: int = 255, class_names: Optional[Sequence[str]] = None):

@@ -269,6 +269,8 @@ def build_panoptic_fpn(cfg):
         num_classes=cfg.MODEL.ROI_HEADS.NUM_CLASSES,
         sem_seg_classes=cfg.MODEL.SEM_SEG_HEAD.NUM_CLASSES,
         depth=cfg.MODEL.RESNETS.DEPTH,
+        instance_loss_weight=cfg.MODEL.PANOPTIC_FPN.INSTANCE_LOSS_WEIGHT,
+        sem_seg_loss_weight=cfg.MODEL.SEM_SEG_HEAD.LOSS_WEIGHT,
         pixel_mean=tuple(cfg.MODEL.PIXEL_MEAN),
         pixel_std=tuple(cfg.MODEL.PIXEL_STD),
         dtype=_dtype(cfg),
@@ -347,6 +349,7 @@ def build_semantic_segmentor(cfg):
 
     return SemanticSegmentor(
         num_classes=cfg.MODEL.SEM_SEG_HEAD.NUM_CLASSES,
+        depth=cfg.MODEL.RESNETS.DEPTH,
         ignore_value=cfg.MODEL.SEM_SEG_HEAD.IGNORE_VALUE,
         pixel_mean=tuple(cfg.MODEL.PIXEL_MEAN),
         pixel_std=tuple(cfg.MODEL.PIXEL_STD),

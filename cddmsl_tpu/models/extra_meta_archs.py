@@ -180,11 +180,34 @@ class SemanticSegmentor(nn.Module):
         nll = -jnp.take_along_axis(lp, gt[..., None], axis=-1)[..., 0]
         return {"loss_sem_seg": jnp.sum(nll * valid) / jnp.maximum(jnp.sum(valid), 1.0)}
 
-    def inference(self, images: jnp.ndarray) -> jnp.ndarray:
+    def inference(self, batch_or_images) -> jnp.ndarray:
+        images = getattr(batch_or_images, "image", batch_or_images)
         return jnp.argmax(self._forward_logits(images), axis=-1)
 
     def __call__(self, images: jnp.ndarray, sem_seg_gt: jnp.ndarray):
         return self.losses(images, sem_seg_gt)
+
+    # ---- trainer protocol (engine/train_loop.py make_train_step /
+    # engine/defaults.py DefaultTrainer) ----
+    def init_all(self, batch: DetBatch, rng: jax.Array):
+        del rng
+        sem = (
+            batch.sem_seg
+            if batch.sem_seg is not None
+            else jnp.zeros(batch.image.shape[:3], jnp.int32)
+        )
+        return self.losses(batch.image, sem)
+
+    def cddmsl_losses(
+        self, batch: DetBatch, rng: jax.Array, caption_on=None,
+        kd_regularization: bool = True, enable_caption: bool = True,
+    ):
+        del rng, caption_on, kd_regularization, enable_caption
+        assert batch.sem_seg is not None, (
+            "SemanticSegmentor training needs DetBatch.sem_seg (register a "
+            "sem-seg dataset — the loader selects SemSegDatasetMapper)"
+        )
+        return self.losses(batch.image, batch.sem_seg)
 
 
 # Keypoint head/assembly moved to models/keypoint_head.py (mirrors the

@@ -87,6 +87,33 @@ class PanopticFPN(nn.Module):
         losses["loss_sem_seg"] = sem_loss * self.sem_seg_loss_weight
         return losses
 
+    # ---- trainer protocol (engine/train_loop.py make_train_step /
+    # engine/defaults.py DefaultTrainer) ----
+    def init_all(self, batch: DetBatch, rng: jax.Array):
+        sem_gt = (
+            batch.sem_seg
+            if batch.sem_seg is not None
+            else jnp.zeros(batch.image.shape[:3], jnp.int32)
+        )
+        return self(batch, sem_gt, rng)
+
+    def cddmsl_losses(
+        self,
+        batch: DetBatch,
+        rng: jax.Array,
+        caption_on=None,
+        kd_regularization: bool = True,
+        enable_caption: bool = True,
+    ):
+        """PanopticFPN has no language branches — the caption gates are
+        ignored; the semantic target rides in `batch.sem_seg`."""
+        del caption_on, kd_regularization, enable_caption
+        assert batch.sem_seg is not None, (
+            "PanopticFPN training needs DetBatch.sem_seg (use a panoptic "
+            "dataset — the loader selects PanopticDatasetMapper automatically)"
+        )
+        return self(batch, batch.sem_seg, rng)
+
     def inference(self, batch: DetBatch):
         """Returns (detections, sem_seg argmax) — combined on host by
         combine_semantic_and_instance_outputs."""

@@ -65,6 +65,9 @@ class DetBatch(NamedTuple):
     proposal_boxes: Optional[jnp.ndarray] = None
     proposal_scores: Optional[jnp.ndarray] = None
     proposal_valid: Optional[jnp.ndarray] = None
+    # (B, H, W) int32 stuff-class semantic target, 255 = ignore (PanopticFPN
+    # / SemanticSegmentor training; reference batched_inputs "sem_seg")
+    sem_seg: Optional[jnp.ndarray] = None
 
 
 def infonce_bidirectional(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:

@@ -39,6 +39,7 @@ def run_one(config_file: str, fixture_root: str) -> bool:
     from cddmsl_tpu.config import add_ateacher_config, get_cfg
     from cddmsl_tpu.data.datasets.synthetic import (
         register_synthetic_coco,
+        register_synthetic_panoptic,
         register_synthetic_quick,
     )
     from cddmsl_tpu.engine.defaults import DefaultTrainer
@@ -46,6 +47,7 @@ def run_one(config_file: str, fixture_root: str) -> bool:
 
     register_synthetic_quick(fixture_root)
     register_synthetic_coco(fixture_root)
+    register_synthetic_panoptic(fixture_root)
 
     cfg = get_cfg()
     add_ateacher_config(cfg)
