@@ -324,6 +324,119 @@ def convert_d2_resnet(sd: Dict[str, np.ndarray], src_prefix: str = "backbone.") 
     return tree
 
 
+def _deconv(w: np.ndarray) -> np.ndarray:
+    """torch ConvTranspose2d weight (in, out, kh, kw) -> flax nn.ConvTranspose
+    kernel (kh, kw, in, out). flax's ConvTranspose is the fractionally-strided
+    conv withOUT the gradient-of-conv kernel flip, so the spatial taps must be
+    flipped to match torch (verified numerically in
+    tests/test_fpn_checkpoint.py::test_deconv_layout_parity)."""
+    return w.transpose(2, 3, 0, 1)[::-1, ::-1]
+
+
+def _dense_from_chw_flat(w: np.ndarray, c: int, h: int, ww: int) -> np.ndarray:
+    """torch Linear weight (out, C*H*W) acting on an NCHW flatten -> flax
+    Dense kernel (H*W*C, out) acting on this repo's NHWC flatten (the RoI
+    pooler emits (R, P, P, C); reference box_head.fc1 sees (R, C, P, P))."""
+    out = w.shape[0]
+    return w.reshape(out, c, h, ww).transpose(0, 2, 3, 1).reshape(out, h * ww * c).T.copy()
+
+
+def convert_d2_fpn_rcnn(
+    sd: Dict[str, np.ndarray], pooler_resolution: int = 7
+) -> Dict[str, Any]:
+    """d2 FPN R-CNN checkpoint ('backbone.bottom_up.*' ResNet +
+    'backbone.fpn_lateral{2-5}/fpn_output{2-5}' + RPN head + 2-FC box head +
+    softmax cls_score (bg LAST, matching this repo's layout — no surgery) +
+    optional mask head) -> FPNRCNN flax tree. Reference naming:
+    detectron2/modeling/backbone/fpn.py + roi_heads/box_head.py:FastRCNNConvFCHead
+    + mask_head.py:MaskRCNNConvUpsampleHead."""
+    tree: Dict[str, Any] = {
+        "backbone": convert_d2_resnet(sd, "backbone.bottom_up."),
+        "proposal_generator": convert_rpn_head(sd),
+    }
+    fpn: Dict[str, Any] = {}
+    for key, val in sd.items():
+        m = re.match(r"^backbone\.fpn_(lateral|output)(\d)\.(weight|bias)$", key)
+        if m:
+            kind, lvl, part = m.groups()
+            name = f"{kind}_res{lvl}"
+            if part == "weight":
+                _set(fpn, (name, "kernel"), _conv(val))
+            else:
+                _set(fpn, (name, "bias"), val)
+            continue
+        m = re.match(r"^backbone\.fpn_(lateral|output)(\d)\.norm\.(weight|bias)$", key)
+        if m:  # GN variants (Misc/*_gn): norm scale/bias, conv has no bias
+            kind, lvl, part = m.groups()
+            _set(fpn, (f"{kind}_res{lvl}_gn", "scale" if part == "weight" else "bias"), val)
+    if fpn:
+        tree["fpn"] = fpn
+
+    roi: Dict[str, Any] = {}
+    # infer fc1's conv-shaped input (C, P, P) from the box-head conv stack
+    # (last conv out-channels) or the FPN width
+    fc_in_c = None
+    for key in sorted(sd):
+        m = re.match(r"^roi_heads\.box_head\.conv(\d)\.weight$", key)
+        if m:
+            fc_in_c = sd[key].shape[0]
+    if fc_in_c is None and "backbone.fpn_output2.weight" in sd:
+        fc_in_c = sd["backbone.fpn_output2.weight"].shape[0]
+    for key, val in sd.items():
+        m = re.match(r"^roi_heads\.box_head\.fc(\d)\.(weight|bias)$", key)
+        if m:
+            idx, part = m.groups()
+            name = f"box_head_fc{idx}"
+            if part == "bias":
+                _set(roi, (name, "bias"), val)
+            elif idx == "1" and fc_in_c and val.shape[1] == fc_in_c * pooler_resolution ** 2:
+                # fc1 consumes the flattened pooled map: NCHW->NHWC reorder
+                _set(roi, (name, "kernel"),
+                     _dense_from_chw_flat(val, fc_in_c, pooler_resolution, pooler_resolution))
+            else:
+                _set(roi, (name, "kernel"), _dense(val))
+            continue
+        m = re.match(r"^roi_heads\.box_head\.conv(\d)\.weight$", key)
+        if m:
+            _set(roi, (f"box_head_conv{m.group(1)}", "kernel"), _conv(val))
+            continue
+        m = re.match(r"^roi_heads\.box_head\.conv(\d)\.norm\.(weight|bias)$", key)
+        if m:
+            _set(roi, (f"box_head_conv{m.group(1)}_gn",
+                       "scale" if m.group(2) == "weight" else "bias"), val)
+            continue
+        m = re.match(r"^roi_heads\.box_predictor\.(cls_score|bbox_pred)\.(weight|bias)$", key)
+        if m:
+            name, part = m.groups()
+            _set(roi, ("box_predictor", name, "kernel" if part == "weight" else "bias"),
+                 _dense(val) if part == "weight" else val)
+            continue
+        m = re.match(r"^roi_heads\.mask_head\.mask_fcn(\d)\.(weight|bias)$", key)
+        if m:
+            _set(roi, ("mask_head", f"mask_fcn{m.group(1)}",
+                       "kernel" if m.group(2) == "weight" else "bias"),
+                 _conv(val) if m.group(2) == "weight" else val)
+            continue
+        m = re.match(r"^roi_heads\.mask_head\.mask_fcn(\d)\.norm\.(weight|bias)$", key)
+        if m:
+            _set(roi, ("mask_head", f"mask_fcn{m.group(1)}_gn",
+                       "scale" if m.group(2) == "weight" else "bias"), val)
+            continue
+        m = re.match(r"^roi_heads\.mask_head\.deconv\.(weight|bias)$", key)
+        if m:
+            _set(roi, ("mask_head", "deconv", "kernel" if m.group(1) == "weight" else "bias"),
+                 _deconv(val) if m.group(1) == "weight" else val)
+            continue
+        m = re.match(r"^roi_heads\.mask_head\.predictor\.(weight|bias)$", key)
+        if m:
+            _set(roi, ("mask_head", "predictor", "kernel" if m.group(1) == "weight" else "bias"),
+                 _conv(val) if m.group(1) == "weight" else val)
+            continue
+    if roi:
+        tree["roi_heads"] = roi
+    return tree
+
+
 def load_bb_rpn_weights(params: Dict[str, Any], path: str) -> Dict[str, Any]:
     """Second checkpoint for the FROZEN offline backbone + RPN of
     CLIPFastRCNN (reference clip_model_loading.py:216 bb_rpn_weights branch +
@@ -347,6 +460,8 @@ def detect_dialect(sd: Dict[str, np.ndarray]) -> str:
         return "clipcap"
     if any(k.startswith("visual.") for k in keys):
         return "oai_clip"
+    if any(k.startswith("backbone.bottom_up.") or k.startswith("backbone.fpn_lateral") for k in keys):
+        return "d2_fpn"
     if any(k.startswith("backbone.") for k in keys):
         return "d2_rcnn"
     if any(k.startswith("lang_encoder.") for k in keys):
@@ -398,6 +513,10 @@ def load_rcnn_weights(params: Dict[str, Any], path: str) -> Dict[str, Any]:
         _merge(tree["roi_heads"], convert_box_predictor(sd, num_classes=_num_classes()))
         if "lang_encoder" in tree and any(k.startswith("lang_encoder.") for k in sd):
             _merge(tree["lang_encoder"], convert_clip_text(sd, "lang_encoder."))
+    elif dialect == "d2_fpn":
+        # FPN-family detector checkpoints (Base-RCNN-FPN zoo); tree layout is
+        # FPNRCNN's (backbone / fpn / proposal_generator / roi_heads)
+        _merge(tree, convert_d2_fpn_rcnn(sd))
     elif dialect == "clipcap":
         _merge(tree["v2l_mapper"], convert_clipcap_mapper(sd))
     elif dialect == "lang":
