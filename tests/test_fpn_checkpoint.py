@@ -87,10 +87,10 @@ class _TorchFPN(nn.Module):
         return [out[lvl] for lvl in (2, 3, 4, 5, 6)]
 
 
-def _tiny_fpn_rcnn(mask_on=True):
+def _tiny_fpn_rcnn(mask_on=True, **overrides):
     from cddmsl_tpu.models.fpn_rcnn import FPNRCNN
 
-    return FPNRCNN(
+    kwargs = dict(
         num_classes=K,
         depth=10,
         backbone_width=8,
@@ -109,6 +109,8 @@ def _tiny_fpn_rcnn(mask_on=True):
         pixel_mean=(0.0, 0.0, 0.0),
         pixel_std=(1.0, 1.0, 1.0),
     )
+    kwargs.update(overrides)
+    return FPNRCNN(**kwargs)
 
 
 def _full_torch_sd(rng):

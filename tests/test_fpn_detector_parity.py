@@ -80,30 +80,38 @@ class _Oracle:
             levels = self.m["fpn"](self.m["bottom_up"](torch.from_numpy(x_nchw)))
         return [lv.numpy() for lv in levels]  # p2..p6
 
-    def rpn(self, levels_i):
-        """levels_i: per-level (C, H_l, W_l) for ONE image -> (boxes, scores)
-        post-NMS proposals (reference find_top_rpn_proposals)."""
-        cand_b, cand_s, cand_l = [], [], []
+    def rpn_raw(self, levels_i):
+        """Per-level flattened (logits, deltas, anchors) for ONE image, in
+        this repo's (H, W, A) flatten order (d2's permute(0,2,3,1))."""
+        out = []
         with torch.no_grad():
-            for lvl, (feat, stride, size) in enumerate(zip(levels_i, STRIDES, ANCHOR_SIZES)):
+            for feat, stride, size in zip(levels_i, STRIDES, ANCHOR_SIZES):
                 t = torch.from_numpy(feat[None])
                 h = torch.relu(self.m["rpn_conv"](t))
                 logits = np.transpose(self._logits_np(h), (1, 2, 0)).reshape(-1)
                 deltas = np.transpose(self._deltas_np(h), (1, 2, 0)).reshape(-1, 4)
                 anchors = _anchor_grid(feat.shape[1], feat.shape[2], stride, _cell_anchors(size))
-                k = min(PRE_K, len(anchors))
-                order = np.argsort(-logits, kind="stable")[:k]
-                boxes = np_apply_deltas(deltas[order], anchors[order], (1.0, 1.0, 1.0, 1.0))
-                boxes = _clip(boxes, (H, W))
-                ok = (boxes[:, 2] > boxes[:, 0]) & (boxes[:, 3] > boxes[:, 1])
-                cand_b.append(boxes)
-                cand_s.append(np.where(ok, logits[order], -np.inf))
-                cand_l.append(np.full(k, lvl))
+                out.append((logits, deltas, anchors))
+        return out
+
+    def rpn(self, levels_i, pre_k=PRE_K, post_k=POST_K):
+        """levels_i: per-level (C, H_l, W_l) for ONE image -> (boxes, scores)
+        post-NMS proposals (reference find_top_rpn_proposals)."""
+        cand_b, cand_s, cand_l = [], [], []
+        for lvl, (logits, deltas, anchors) in enumerate(self.rpn_raw(levels_i)):
+            k = min(pre_k, len(anchors))
+            order = np.argsort(-logits, kind="stable")[:k]
+            boxes = np_apply_deltas(deltas[order], anchors[order], (1.0, 1.0, 1.0, 1.0))
+            boxes = _clip(boxes, (H, W))
+            ok = (boxes[:, 2] > boxes[:, 0]) & (boxes[:, 3] > boxes[:, 1])
+            cand_b.append(boxes)
+            cand_s.append(np.where(ok, logits[order], -np.inf))
+            cand_l.append(np.full(k, lvl))
         boxes = np.concatenate(cand_b)
         scores = np.concatenate(cand_s)
         lvls = np.concatenate(cand_l)
         keep = np_batched_nms(boxes, scores, lvls, RPN_NMS)
-        keep = [i for i in keep if np.isfinite(scores[i])][:POST_K]
+        keep = [i for i in keep if np.isfinite(scores[i])][:post_k]
         return boxes[keep], scores[keep]
 
     def _logits_np(self, h):
@@ -226,6 +234,125 @@ def _rpn_method(model):
         return self.proposal_generator(levels, image_sizes, training=training)
 
     return run
+
+
+def test_fpn_train_loss_parity(setup):
+    """Composed FPN train losses under exhaustive sampling (reference
+    rpn.py:366-430 multi-level anchor matching + roi_heads
+    label_and_sample_proposals with add_ground_truth_to_proposals +
+    fast_rcnn.py softmax CE / smooth-L1): quotas exceed candidate counts, so
+    the sampled SET is deterministic and the padded-JAX and numpy losses
+    must agree without matching RNG streams."""
+    import torch.nn.functional as F
+
+    from test_torch_parity_detector import (
+        np_get_deltas,
+        np_matcher,
+        np_pairwise_iou,
+    )
+
+    from cddmsl_tpu.checkpoint.convert_torch import load_rcnn_weights
+    from cddmsl_tpu.models import DetBatch
+
+    oracle, _, _, _, x = setup
+    RPN_BATCH, ROI_BATCH = 4096, 128  # >= candidates: exhaustive
+    model = _tiny_fpn_rcnn(
+        mask_on=False,
+        rpn_batch_size_per_image=RPN_BATCH,
+        roi_batch_size_per_image=ROI_BATCH,
+        roi_positive_fraction=0.5,
+    )
+
+    rng = np.random.RandomState(7)
+    G = 4
+    gtb = np.zeros((2, G, 4), np.float32)
+    gtc = rng.randint(0, K, (2, G)).astype(np.int32)
+    for i in range(2):
+        for g in range(G):
+            x0 = rng.randint(0, W - 24)
+            y0 = rng.randint(0, H - 20)
+            gtb[i, g] = (x0, y0, x0 + 12 + rng.randint(12), y0 + 10 + rng.randint(10))
+    batch = DetBatch(
+        image=jnp.asarray(x.transpose(0, 2, 3, 1)) * 255.0,
+        image_sizes=jnp.asarray([[H, W]] * 2, jnp.int32),
+        orig_sizes=jnp.asarray([[H, W]] * 2, jnp.int32),
+        gt_boxes=jnp.asarray(gtb),
+        gt_classes=jnp.asarray(gtc),
+        gt_valid=jnp.ones((2, G), bool),
+    )
+    import tempfile
+
+    params = model.init(
+        {"params": jax.random.PRNGKey(0)}, batch, jax.random.PRNGKey(1),
+        method=model.supervised_losses,
+    )
+    with tempfile.TemporaryDirectory() as td:
+        pth = td + "/fpn.pth"
+        torch.save({k: torch.from_numpy(v) for k, v in oracle.m_sd.items()}, pth)
+        params = load_rcnn_weights(params, pth)
+    got = jax.device_get(
+        model.apply(params, batch, jax.random.PRNGKey(2), method=model.supervised_losses)
+    )
+
+    # ---- oracle ----
+    rpn_cls = rpn_loc = 0.0
+    roi_ce, roi_reg_sum, roi_count = [], 0.0, 0
+    for i in range(2):
+        levels_i = [lv[i] for lv in oracle.features(x)]
+        raw = oracle.rpn_raw(levels_i)
+        logits = np.concatenate([r[0] for r in raw])
+        deltas = np.concatenate([r[1] for r in raw])
+        anchors = np.concatenate([r[2] for r in raw])
+        iou = np_pairwise_iou(gtb[i], anchors)
+        midx, mlab = np_matcher(iou, (0.3, 0.7), (0, -1, 1), True)
+        pos = mlab == 1
+        sampled = mlab >= 0
+        gt_deltas = np_get_deltas(anchors, gtb[i][midx], (1.0, 1.0, 1.0, 1.0))
+        rpn_loc += np.abs(deltas - gt_deltas)[pos].sum()
+        z = torch.from_numpy(logits[sampled])
+        t = torch.from_numpy(pos[sampled].astype(np.float32))
+        rpn_cls += F.binary_cross_entropy_with_logits(z, t, reduction="sum").item()
+
+        # RoI: train-mode proposals + gt appended
+        pboxes, _ = oracle.rpn(levels_i, pre_k=64, post_k=32)  # TRAIN topks
+        pboxes = np.concatenate([pboxes, gtb[i]], axis=0)
+        iou_p = np_pairwise_iou(gtb[i], pboxes)
+        midx_p, mlab_p = np_matcher(iou_p, (0.5,), (0, 1), False)
+        classes = np.where(mlab_p == 1, gtc[i][midx_p], K).astype(np.int64)
+        _, scores, ds = _oracle_roi_raw(oracle, levels_i, pboxes)
+        z = torch.from_numpy(scores)
+        t = torch.from_numpy(classes)
+        roi_ce.append(F.cross_entropy(z, t, reduction="none").numpy())
+        fg = classes < K
+        fg_deltas = ds.reshape(-1, K, 4)[fg, classes[fg]]
+        gt_d = np_get_deltas(pboxes[fg], gtb[i][midx_p[fg]], (10.0, 10.0, 5.0, 5.0))
+        roi_reg_sum += np.abs(fg_deltas - gt_d).sum()
+        roi_count += len(classes)
+
+    want = {
+        "loss_rpn_cls": rpn_cls / (RPN_BATCH * 2),
+        "loss_rpn_loc": rpn_loc / (RPN_BATCH * 2),
+        "loss_cls": float(np.concatenate(roi_ce).mean()),
+        "loss_box_reg": roi_reg_sum / roi_count,
+    }
+    for k_, v in want.items():
+        np.testing.assert_allclose(float(got[k_]), v, rtol=2e-3, atol=2e-4), k_
+
+
+def _oracle_roi_raw(oracle, levels_i, boxes):
+    """Pooled features -> (feats, cls logits, deltas) for given boxes."""
+    area = np.maximum((boxes[:, 2] - boxes[:, 0]) * (boxes[:, 3] - boxes[:, 1]), 1e-6)
+    lvl = np.floor(4 + np.log2(np.sqrt(area) / 224 + 1e-8)).clip(2, 5).astype(int)
+    pooled = np.zeros((len(boxes), levels_i[0].shape[0], 7, 7), np.float32)
+    for i, (b, l) in enumerate(zip(boxes, lvl)):
+        pooled[i] = np_roi_align(
+            levels_i[l - 2], b[None], out=7, scale=1.0 / STRIDES[l - 2], sampling=2
+        )[0]
+    with torch.no_grad():
+        xx = torch.from_numpy(pooled).flatten(1)
+        xx = torch.relu(oracle.m["fc1"](xx))
+        xx = torch.relu(oracle.m["fc2"](xx))
+        return xx.numpy(), oracle.m["cls_score"](xx).numpy(), oracle.m["bbox_pred"](xx).numpy()
 
 
 def test_fpn_detector_inference_parity(setup):
