@@ -492,11 +492,16 @@ def build_lazy_train_loader(
     num_keypoints: int = 17,
     num_workers: int = 0,
     seed: int = 0,
+    augmentations=None,
 ):
     """Explicit-args train loader for LazyConfig recipes (the equivalent of
     the reference configs/common/data/*.py dataloader.train entries, which
     call build_detection_train_loader with explicit mapper args). Builds a
-    minimal cfg internally and delegates to build_detection_train_loader."""
+    minimal cfg internally and delegates to build_detection_train_loader.
+
+    `augmentations`: explicit Augmentation objects for the mapper (the
+    new_baselines LSJ recipes pass [ResizeScale, FixedSizeCrop, RandomFlip]
+    here, reference configs/common/data/coco.py + new_baselines/*.py)."""
     from ..config import get_cfg
 
     cfg = get_cfg()
@@ -510,7 +515,10 @@ def build_lazy_train_loader(
     cfg.MODEL.KEYPOINT_ON = keypoint_on
     cfg.MODEL.ROI_KEYPOINT_HEAD.NUM_KEYPOINTS = num_keypoints
     cfg.DATALOADER.NUM_WORKERS = num_workers
-    return build_detection_train_loader(cfg, seed=seed)
+    mapper = None
+    if augmentations is not None:
+        mapper = DatasetMapper(cfg, is_train=True, augmentations=augmentations)
+    return build_detection_train_loader(cfg, mapper=mapper, seed=seed)
 
 
 def build_lazy_test_loader(

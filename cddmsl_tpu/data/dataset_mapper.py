@@ -86,9 +86,14 @@ class DatasetMapper:
     """cfg -> callable(dataset_dict, rng) -> sample dict of numpy arrays:
     image, [image_trgt], boxes (N,4), classes (N,), hw, orig_hw, image_id."""
 
-    def __init__(self, cfg, is_train: bool = True):
+    def __init__(self, cfg, is_train: bool = True, augmentations=None):
+        """`augmentations`: explicit Augmentation list overriding the
+        cfg-built pipeline (the reference DatasetMapper(augmentations=...)
+        path used by LazyConfig recipes, e.g. the new_baselines LSJ augs)."""
         self.is_train = is_train
-        self.augmentations = build_augmentation(cfg, is_train)
+        self.augmentations = (
+            list(augmentations) if augmentations is not None else build_augmentation(cfg, is_train)
+        )
         self.image_format = cfg.INPUT.FORMAT
         self.use_instance_mask = cfg.MODEL.MASK_ON
         self.use_keypoint = cfg.MODEL.KEYPOINT_ON

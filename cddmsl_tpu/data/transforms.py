@@ -113,6 +113,38 @@ class CropTransform(Transform):
         return coords
 
 
+class PadTransform(Transform):
+    """Pad left/top by (x0, y0) and right/bottom by (x1, y1) (reference
+    transform.py PadTransform): boxes/coords shift by the top-left pad;
+    segmentation pads with `seg_pad_value` (ignore label)."""
+
+    def __init__(self, x0: int, y0: int, x1: int, y1: int,
+                 pad_value: float = 128.0, seg_pad_value: int = 255):
+        self.x0, self.y0, self.x1, self.y1 = x0, y0, x1, y1
+        self.pad_value = pad_value
+        self.seg_pad_value = seg_pad_value
+
+    def apply_image(self, img: np.ndarray) -> np.ndarray:
+        pads = [(self.y0, self.y1), (self.x0, self.x1)] + [(0, 0)] * (img.ndim - 2)
+        return np.pad(img, pads, constant_values=self.pad_value).astype(img.dtype)
+
+    def apply_box(self, boxes: np.ndarray) -> np.ndarray:
+        boxes = boxes.astype(np.float32).copy()
+        boxes[:, 0::2] += self.x0
+        boxes[:, 1::2] += self.y0
+        return boxes
+
+    def apply_coords(self, coords: np.ndarray) -> np.ndarray:
+        coords = coords.astype(np.float32).copy()
+        coords[:, 0] += self.x0
+        coords[:, 1] += self.y0
+        return coords
+
+    def apply_segmentation(self, seg: np.ndarray) -> np.ndarray:
+        pads = [(self.y0, self.y1), (self.x0, self.x1)]
+        return np.pad(seg, pads, constant_values=self.seg_pad_value).astype(seg.dtype)
+
+
 class TransformList(Transform):
     def __init__(self, tfms: Sequence[Transform]):
         self.transforms = list(tfms)
@@ -220,6 +252,59 @@ class RandomCrop(Augmentation):
         y0 = rng.randint(h - ch + 1)
         x0 = rng.randint(w - cw + 1)
         return CropTransform(x0, y0, cw, ch)
+
+
+class ResizeScale(Augmentation):
+    """Large-scale jitter resize (reference augmentation_impl.py ResizeScale,
+    the 'LSJ' recipe of configs/new_baselines): sample scale in
+    [min_scale, max_scale], then resize the image to fit within
+    (target_height, target_width) * scale, preserving aspect ratio."""
+
+    def __init__(self, min_scale: float, max_scale: float,
+                 target_height: int, target_width: int):
+        self.min_scale = min_scale
+        self.max_scale = max_scale
+        self.target_height = target_height
+        self.target_width = target_width
+
+    def get_transform(self, img, rng) -> Transform:
+        h, w = img.shape[:2]
+        scale = rng.uniform(self.min_scale, self.max_scale)
+        out_scale = min(self.target_height * scale / h, self.target_width * scale / w)
+        new_h = int(round(h * out_scale))
+        new_w = int(round(w * out_scale))
+        if (new_h, new_w) == (h, w):
+            return NoOpTransform()
+        return ResizeTransform(h, w, new_h, new_w)
+
+
+class FixedSizeCrop(Augmentation):
+    """Crop (random position) and/or pad bottom-right to a FIXED output size
+    (reference augmentation_impl.py FixedSizeCrop — the LSJ companion):
+    larger inputs are randomly cropped, smaller ones padded with
+    `pad_value` (images) / `seg_pad_value` (segmentation ignore)."""
+
+    def __init__(self, crop_size: Tuple[int, int], pad: bool = True,
+                 pad_value: float = 128.0, seg_pad_value: int = 255):
+        self.crop_size = tuple(crop_size)
+        self.pad = pad
+        self.pad_value = pad_value
+        self.seg_pad_value = seg_pad_value
+
+    def get_transform(self, img, rng) -> Transform:
+        h, w = img.shape[:2]
+        ch, cw = self.crop_size
+        oy = int(round(rng.uniform(0.0, 1.0) * max(0, h - ch)))
+        ox = int(round(rng.uniform(0.0, 1.0) * max(0, w - cw)))
+        tfms: List[Transform] = [CropTransform(ox, oy, min(cw, w - ox), min(ch, h - oy))]
+        if self.pad:
+            pad_x1 = max(0, cw - (w - ox))
+            pad_y1 = max(0, ch - (h - oy))
+            if pad_x1 or pad_y1:
+                tfms.append(
+                    PadTransform(0, 0, pad_x1, pad_y1, self.pad_value, self.seg_pad_value)
+                )
+        return tfms[0] if len(tfms) == 1 else TransformList(tfms)
 
 
 def build_augmentation(cfg, is_train: bool) -> List[Augmentation]:
