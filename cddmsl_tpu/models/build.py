@@ -131,6 +131,9 @@ def build_fpn_rcnn(cfg):
         num_classes=cfg.MODEL.ROI_HEADS.NUM_CLASSES,
         depth=cfg.MODEL.RESNETS.DEPTH,
         mask_on=cfg.MODEL.MASK_ON,
+        # ROI_HEADS.NAME=CascadeROIHeads on the FPN family (Misc/
+        # cascade_mask_rcnn_*) swaps in the cascade heads
+        cascade=cfg.MODEL.ROI_HEADS.NAME == "CascadeROIHeads",
         anchor_sizes=sizes,
         anchor_aspect_ratios=tuple(cfg.MODEL.ANCHOR_GENERATOR.ASPECT_RATIOS[0]),
         rpn_batch_size_per_image=cfg.MODEL.RPN.BATCH_SIZE_PER_IMAGE,
@@ -305,8 +308,15 @@ def build_model(cfg):
         "SemanticSegmentor": build_semantic_segmentor,
         "ProposalNetwork": build_proposal_network,
     }.get(name)
-    # the reference reaches cascade via ROI_HEADS.NAME inside GeneralizedRCNN
-    if name == "GeneralizedRCNN" and cfg.MODEL.ROI_HEADS.NAME == "CascadeROIHeads":
+    # the reference reaches cascade via ROI_HEADS.NAME inside GeneralizedRCNN;
+    # on the FPN family (Misc/cascade_mask_rcnn_*_FPN_*) the FPNRCNN assembly
+    # carries the cascade heads (build_fpn_rcnn sets cascade=True), the C4
+    # form uses the CascadeRCNN meta-arch
+    if (
+        name == "GeneralizedRCNN"
+        and cfg.MODEL.ROI_HEADS.NAME == "CascadeROIHeads"
+        and "fpn_backbone" not in cfg.MODEL.BACKBONE.NAME
+    ):
         builder = build_cascade_rcnn
     # ... and the FPN family via BACKBONE.NAME=build_resnet_fpn_backbone
     # (reference Base-RCNN-FPN.yaml)

@@ -49,7 +49,9 @@ class CascadeROIHeads(nn.Module):
     num_classes: int = 20
     in_channels: int = 1024
     pooler_resolution: int = 7
-    pooler_scale: float = 1.0 / 16
+    # one scale = C4-style single level; multiple = FPN p2..p5 with
+    # canonical level assignment (reference cascade heads run on either)
+    pooler_scales: Sequence[float] = (1.0 / 16,)
     batch_size_per_image: int = 128
     positive_fraction: float = 0.25
     stage_ious: Sequence[float] = (0.5, 0.6, 0.7)
@@ -61,6 +63,14 @@ class CascadeROIHeads(nn.Module):
     score_thresh_test: float = 0.05
     nms_thresh_test: float = 0.5
     detections_per_image: int = 100
+    # mask branch (reference cascade_mask_rcnn_*: CascadeROIHeads inherits
+    # StandardROIHeads' mask head — trained on the stage-0 sampled boxes,
+    # applied to the final detections at inference)
+    mask_on: bool = False
+    mask_num_conv: int = 4
+    mask_conv_dim: int = 256
+    mask_pooler_resolution: int = 14
+    mask_canvas_stride: float = 4.0
     dtype: Any = jnp.float32
 
     def setup(self):
@@ -70,15 +80,33 @@ class CascadeROIHeads(nn.Module):
         ]
         self.box2box = [Box2BoxTransform(w) for w in self.stage_weights]
         self.matchers = [Matcher((t,), (0, 1), allow_low_quality_matches=False) for t in self.stage_ious]
+        from .poolers import ROIPooler
 
-    def _pool(self, features, boxes):
-        b, s = boxes.shape[:2]
-        pooled = jax.vmap(
-            lambda f, bx: roi_align(
-                f, bx, (self.pooler_resolution, self.pooler_resolution), self.pooler_scale, 2, True
+        self.pooler = ROIPooler(
+            self.pooler_resolution, tuple(self.pooler_scales), sampling_ratio=2, min_level=2
+        )
+        if self.mask_on:
+            from .mask_head import MaskRCNNConvUpsampleHead
+
+            self.mask_pooler = ROIPooler(
+                self.mask_pooler_resolution, tuple(self.pooler_scales), sampling_ratio=2,
+                min_level=2,
             )
-        )(features, boxes)
-        return pooled.reshape(b * s, self.pooler_resolution, self.pooler_resolution, -1)
+            self.mask_head = MaskRCNNConvUpsampleHead(
+                num_classes=self.num_classes, num_conv=self.mask_num_conv,
+                conv_dim=self.mask_conv_dim, dtype=self.dtype,
+            )
+
+    def _pool(self, features, boxes, pooler=None):
+        """features: list of (B, H_l, W_l, C) maps (single-entry = C4)."""
+        if not isinstance(features, (list, tuple)):
+            features = [features]
+        pooler = pooler or self.pooler
+        b, s = boxes.shape[:2]
+        pooled = jax.vmap(lambda *per_img: pooler(list(per_img[:-1]), per_img[-1]))(
+            *features, boxes
+        )
+        return pooled.reshape((b * s,) + pooled.shape[2:])
 
     def _match_and_label(self, stage: int, boxes, valid, gt_boxes, gt_classes, gt_valid):
         """Per-stage matching (NO resampling after stage 0, matching the
@@ -95,8 +123,10 @@ class CascadeROIHeads(nn.Module):
         return jax.vmap(per_image)(boxes, valid, gt_boxes, gt_classes, gt_valid)
 
     def __call__(self, features, proposals: Proposals, image_sizes, training: bool,
-                 gt_boxes=None, gt_classes=None, gt_valid=None, rng=None):
-        b = features.shape[0]
+                 gt_boxes=None, gt_classes=None, gt_valid=None, gt_masks=None,
+                 gt_keypoints=None, rng=None):
+        assert gt_keypoints is None, "CascadeROIHeads has no keypoint branch"
+        b = proposals.boxes.shape[0]
         if training:
             # stage-0 sampling (reference samples once, then cascades)
             keys = jax.random.split(rng, b)
@@ -114,11 +144,12 @@ class CascadeROIHeads(nn.Module):
                 k1, k2 = jax.random.split(key)
                 ps, ns = subsample_labels(k1, pos, neg, self.batch_size_per_image, self.positive_fraction)
                 idx, valid = gather_selected(k2, ps, ns, self.batch_size_per_image)
-                return pb[idx], valid
+                return pb[idx], valid, jnp.where(valid, classes[idx], self.num_classes), matched_idxs[idx]
 
-            boxes, valid = jax.vmap(sample)(
+            boxes, valid, cls0, midx0 = jax.vmap(sample)(
                 proposals.boxes, proposals.valid, gt_boxes, gt_classes, gt_valid, keys
             )
+            sampled_boxes = boxes  # mask branch trains on the stage-0 samples
             losses: Dict[str, jnp.ndarray] = {}
             s = boxes.shape[1]
             for i, head in enumerate(self.heads):
@@ -142,6 +173,24 @@ class CascadeROIHeads(nn.Module):
                     boxes = jax.vmap(lambda bx, hw: box_ops.clip(bx, (hw[0], hw[1])))(
                         new.reshape(b, s, 4), image_sizes
                     )
+            if self.mask_on:
+                assert gt_masks is not None, "mask_on cascade training needs gt_masks"
+                from .mask_head import crop_mask_targets, mask_rcnn_loss
+
+                mask_logits = self.mask_head(
+                    self._pool(features, sampled_boxes, self.mask_pooler)
+                )
+                m = mask_logits.shape[1]
+                targets = jax.vmap(
+                    lambda cv, mi, bx: crop_mask_targets(
+                        cv, mi, bx, m, stride=self.mask_canvas_stride
+                    )
+                )(gt_masks, midx0, sampled_boxes)
+                flat_cls = cls0.reshape(b * s)
+                fg = valid.reshape(b * s) & (flat_cls >= 0) & (flat_cls < self.num_classes)
+                losses["loss_mask"] = mask_rcnn_loss(
+                    mask_logits, targets.reshape(b * s, m, m), flat_cls, fg
+                )
             return None, losses
 
         # inference: run all stages, average class scores, decode final boxes
@@ -171,7 +220,18 @@ class CascadeROIHeads(nn.Module):
                 topk_per_image=self.detections_per_image,
             )
 
-        return jax.vmap(per_image)(mean_logits, deltas, boxes, valid, image_sizes), {}
+        detections = jax.vmap(per_image)(mean_logits, deltas, boxes, valid, image_sizes)
+        if self.mask_on:
+            from .mask_head import mask_rcnn_inference
+
+            d = detections.boxes.shape[1]
+            mask_logits = self.mask_head(
+                self._pool(features, detections.boxes, self.mask_pooler)
+            )
+            m = mask_logits.shape[1]
+            probs = mask_rcnn_inference(mask_logits, detections.classes.reshape(b * d))
+            detections = detections._replace(masks=probs.reshape(b, d, m, m))
+        return detections, {}
 
 
 class CascadeRCNN(nn.Module):

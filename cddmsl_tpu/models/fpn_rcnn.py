@@ -59,6 +59,10 @@ class FPNRCNN(nn.Module):
     use_text_emb: bool = False
     emb_dim: int = 1024
     temperature: float = 0.01
+    # Cascade R-CNN heads instead of StandardROIHeads (reference
+    # ROI_HEADS.NAME=CascadeROIHeads on Base-RCNN-FPN, configs/Misc/
+    # cascade_mask_rcnn_*)
+    cascade: bool = False
     fpn_out_channels: int = 256
     pixel_mean: Sequence[float] = (103.53, 116.28, 123.675)
     pixel_std: Sequence[float] = (1.0, 1.0, 1.0)
@@ -137,6 +141,28 @@ class FPNRCNN(nn.Module):
                 box_reg_loss_weight=self.rpn_box_reg_loss_weight,
                 dtype=self.dtype,
             )
+        if self.cascade:
+            # Cascade R-CNN on FPN (reference configs/Misc/
+            # cascade_mask_rcnn_R_50_FPN_*: Base-RCNN-FPN with
+            # ROI_HEADS.NAME=CascadeROIHeads)
+            from .cascade_rcnn import CascadeROIHeads
+
+            assert not self.keypoint_on, "cascade has no keypoint branch"
+            self.roi_heads = CascadeROIHeads(
+                num_classes=self.num_classes,
+                pooler_scales=(1 / 16,) if self.dc5 else (1 / 4, 1 / 8, 1 / 16, 1 / 32),
+                batch_size_per_image=self.roi_batch_size_per_image,
+                positive_fraction=self.roi_positive_fraction,
+                score_thresh_test=self.score_thresh_test,
+                nms_thresh_test=self.nms_thresh_test,
+                detections_per_image=self.detections_per_image,
+                mask_on=self.mask_on,
+                mask_num_conv=self.mask_num_conv,
+                mask_conv_dim=self.mask_conv_dim,
+                mask_canvas_stride=self.mask_canvas_stride,
+                dtype=self.dtype,
+            )
+            return
         self.roi_heads = CLIPStandardROIHeads(
             pooler_scales=(1 / 16,) if self.dc5 else (1 / 4, 1 / 8, 1 / 16, 1 / 32),
             num_classes=self.num_classes,
