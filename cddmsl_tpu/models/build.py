@@ -134,6 +134,9 @@ def build_fpn_rcnn(cfg):
         # ROI_HEADS.NAME=CascadeROIHeads on the FPN family (Misc/
         # cascade_mask_rcnn_*) swaps in the cascade heads
         cascade=cfg.MODEL.ROI_HEADS.NAME == "CascadeROIHeads",
+        # CLIP ModifiedResNet bottom-up under the FPN (reference
+        # build_clip_resnet_fpn_backbone, clip_backbone.py:664)
+        backbone_type="clip" if "clip" in cfg.MODEL.BACKBONE.NAME else "d2_resnet",
         anchor_sizes=sizes,
         anchor_aspect_ratios=tuple(cfg.MODEL.ANCHOR_GENERATOR.ASPECT_RATIOS[0]),
         rpn_batch_size_per_image=cfg.MODEL.RPN.BATCH_SIZE_PER_IMAGE,

@@ -63,6 +63,11 @@ class FPNRCNN(nn.Module):
     # ROI_HEADS.NAME=CascadeROIHeads on Base-RCNN-FPN, configs/Misc/
     # cascade_mask_rcnn_*)
     cascade: bool = False
+    # bottom-up choice (reference BACKBONE.NAME): 'd2_resnet'
+    # (build_resnet_fpn_backbone) or 'clip' (build_clip_resnet_fpn_backbone,
+    # clip_backbone.py:664 — the RegionCLIP LVIS FPN transfer recipe)
+    backbone_type: str = "d2_resnet"
+    clip_layers: Sequence[int] = (3, 4, 6, 3)  # CLIP RN50
     fpn_out_channels: int = 256
     pixel_mean: Sequence[float] = (103.53, 116.28, 123.675)
     pixel_std: Sequence[float] = (1.0, 1.0, 1.0)
@@ -100,20 +105,35 @@ class FPNRCNN(nn.Module):
     res2_out_channels: int = 256  # compile-light override (tests)
 
     def setup(self):
-        self.backbone = D2ResNet(
-            depth=self.depth,
-            out_features=("res5",) if self.dc5 else ("res2", "res3", "res4", "res5"),
-            res5_dilation=2 if self.dc5 else 1,
-            num_groups=self.num_groups,
-            width_per_group=self.backbone_width or 64,
-            stride_in_1x1=self.stride_in_1x1,
-            norm=self.backbone_norm,
-            deform_on_per_stage=tuple(self.deform_on_per_stage),
-            deform_modulated=self.deform_modulated,
-            res2_out_channels=self.res2_out_channels,
-            dtype=self.dtype,
-        )
-        res5_channels = self.res2_out_channels * 8
+        if self.backbone_type == "clip":
+            from .backbone.clip_resnet import ModifiedResNet
+
+            assert not self.dc5, "CLIP bottom-up has no DC5 form"
+            w = self.backbone_width or 64
+            self.backbone = ModifiedResNet(
+                layers=tuple(self.clip_layers),
+                output_dim=self.emb_dim,
+                heads=(w * 32) // 64,
+                width=w,
+                out_features=("res2", "res3", "res4", "res5"),
+                dtype=self.dtype,
+            )
+            res5_channels = w * 32
+        else:
+            self.backbone = D2ResNet(
+                depth=self.depth,
+                out_features=("res5",) if self.dc5 else ("res2", "res3", "res4", "res5"),
+                res5_dilation=2 if self.dc5 else 1,
+                num_groups=self.num_groups,
+                width_per_group=self.backbone_width or 64,
+                stride_in_1x1=self.stride_in_1x1,
+                norm=self.backbone_norm,
+                deform_on_per_stage=tuple(self.deform_on_per_stage),
+                deform_modulated=self.deform_modulated,
+                res2_out_channels=self.res2_out_channels,
+                dtype=self.dtype,
+            )
+            res5_channels = self.res2_out_channels * 8
         if not self.dc5:
             self.fpn = FPN(
                 in_features=("res2", "res3", "res4", "res5"),
