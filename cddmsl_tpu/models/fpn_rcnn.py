@@ -68,6 +68,11 @@ class FPNRCNN(nn.Module):
     # clip_backbone.py:664 — the RegionCLIP LVIS FPN transfer recipe)
     backbone_type: str = "d2_resnet"
     clip_layers: Sequence[int] = (3, 4, 6, 3)  # CLIP RN50
+    # RegNet bottom-up (reference configs/COCO-InstanceSegmentation/
+    # mask_rcnn_regnet{x,y}_4gf_dds_fpn_1x.py + the new_baselines regnet LSJ
+    # recipes): (w_a, w_0, w_m, depth, group_width, se_ratio) — defaults are
+    # RegNetX-4GF; se_ratio > 0 makes it RegNetY
+    regnet_spec: Sequence[float] = (38.65, 96, 2.43, 23, 40, 0.0)
     fpn_out_channels: int = 256
     pixel_mean: Sequence[float] = (103.53, 116.28, 123.675)
     pixel_std: Sequence[float] = (1.0, 1.0, 1.0)
@@ -119,6 +124,20 @@ class FPNRCNN(nn.Module):
                 dtype=self.dtype,
             )
             res5_channels = w * 32
+        elif self.backbone_type == "regnet":
+            from .backbone.regnet import RegNet, generate_regnet_parameters
+
+            assert not self.dc5, "RegNet bottom-up has no DC5 form"
+            w_a, w_0, w_m, rd, gw, se = self.regnet_spec
+            self.backbone = RegNet(
+                w_a=float(w_a), w_0=int(w_0), w_m=float(w_m), depth=int(rd),
+                group_width=int(gw), se_ratio=float(se),
+                out_features=("s1", "s2", "s3", "s4"), dtype=self.dtype,
+            )
+            widths, _, _ = generate_regnet_parameters(
+                float(w_a), int(w_0), float(w_m), int(rd), int(gw)
+            )
+            res5_channels = int(widths[-1])
         else:
             self.backbone = D2ResNet(
                 depth=self.depth,
@@ -136,7 +155,11 @@ class FPNRCNN(nn.Module):
             res5_channels = self.res2_out_channels * 8
         if not self.dc5:
             self.fpn = FPN(
-                in_features=("res2", "res3", "res4", "res5"),
+                in_features=(
+                    ("s1", "s2", "s3", "s4")
+                    if self.backbone_type == "regnet"
+                    else ("res2", "res3", "res4", "res5")
+                ),
                 out_channels=self.fpn_out_channels,
                 top_block_p6=True,  # RPN sees p6 (Base-RCNN-FPN IN_FEATURES)
                 norm=self.fpn_norm,

@@ -1,0 +1,17 @@
+# reference configs/COCO-InstanceSegmentation/mask_rcnn_regnetx_4gf_dds_fpn_1x.py:
+# Mask R-CNN with a RegNetX-4GF bottom-up under the FPN.
+import os
+
+from cddmsl_tpu.config.lazy import LazyConfig
+
+_common = os.path.join(os.path.dirname(__file__), "..", "common")
+
+model = LazyConfig.load(os.path.join(_common, "models", "mask_rcnn_fpn.py"), "model")
+optimizer = LazyConfig.load(os.path.join(_common, "optim.py"), "SGD")
+lr_multiplier = LazyConfig.load(os.path.join(_common, "coco_schedule.py"), "lr_multiplier_1x")
+dataloader = LazyConfig.load(os.path.join(_common, "data", "coco.py"), "dataloader")
+train = LazyConfig.load(os.path.join(_common, "train.py"), "train")
+
+model["backbone_type"] = "regnet"
+# RegNetX-4GF (dds): w_a 38.65, w_0 96, w_m 2.43, depth 23, group width 40
+model["regnet_spec"] = (38.65, 96, 2.43, 23, 40, 0.0)
