@@ -220,6 +220,49 @@ def register_synthetic_panoptic(root: str, prefix: str = "synthetic_panoptic") -
             register_coco_panoptic(name, json_path, img_dir, pan_dir)
 
 
+def make_synthetic_semseg(root: str, n: int = 6, n_cls: int = 5, seed: int = 0):
+    """Deterministic sem-seg fixture (cityscapes layout): vertical class
+    stripes + a 255-ignore band. Returns (image_dir, gt_dir)."""
+    from PIL import Image
+
+    rng = np.random.RandomState(seed)
+    h, w = _FIXTURE_HW
+    img_dir = os.path.join(root, "semseg_synth", "leftImg8bit", "val", "cityA")
+    gt_dir = os.path.join(root, "semseg_synth", "gtFine", "val", "cityA")
+    os.makedirs(img_dir, exist_ok=True)
+    os.makedirs(gt_dir, exist_ok=True)
+    for i in range(n):
+        base = f"cityA_{i:06d}_000019"
+        gt = np.zeros((h, w), np.uint8)
+        for c in range(1, n_cls):
+            gt[:, c * (w // n_cls) : (c + 1) * (w // n_cls)] = c
+        gt[:4] = 255
+        img = (rng.rand(h, w, 3) * 40).astype(np.uint8)
+        img += (gt[..., None] % n_cls) * 40  # class-correlated intensity
+        Image.fromarray(img).save(os.path.join(img_dir, base + "_leftImg8bit.png"))
+        Image.fromarray(gt).save(os.path.join(gt_dir, base + "_gtFine_labelTrainIds.png"))
+    return os.path.dirname(img_dir), os.path.dirname(gt_dir)
+
+
+def register_synthetic_semseg(root: str, prefix: str = "synthetic_semseg", n_cls: int = 5):
+    """Create the sem-seg fixture and register `{prefix}_train`/`{prefix}_val`."""
+    from ..catalog import DatasetCatalog, MetadataCatalog
+    from .cityscapes import load_cityscapes_semantic
+
+    img_dir, gt_dir = make_synthetic_semseg(root, n_cls=n_cls)
+    for name in (f"{prefix}_train", f"{prefix}_val"):
+        if name in DatasetCatalog:
+            continue
+        DatasetCatalog.register(
+            name, lambda i=img_dir, g=gt_dir: load_cityscapes_semantic(i, g)
+        )
+        MetadataCatalog.get(name).set(
+            stuff_classes=[f"s{i}" for i in range(n_cls)],
+            ignore_label=255,
+            evaluator_type="sem_seg",
+        )
+
+
 def register_synthetic_coco(
     root: str, prefix: str = "synthetic_coco", with_keypoints: bool = False
 ) -> None:

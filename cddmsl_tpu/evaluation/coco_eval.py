@@ -384,9 +384,11 @@ class COCOEvaluator:
                 gkps = self._gt_kps.get(c, {}).get(img, [])
                 if any(k is None for k in dkps) or any(k is None for k in gkps):
                     continue  # keypoints task without keypoints: skip image
-                ious = _oks_matrix(
-                    np.stack(dkps), np.stack(gkps), gts, self.kpt_oks_sigmas
-                )
+                # empty lists (detections with no GT of this class, or vice
+                # versa) -> 0-row arrays; _oks_matrix handles D==0 / G==0
+                dk = np.stack(dkps) if dkps else np.zeros((0, 1, 3))
+                gk = np.stack(gkps) if gkps else np.zeros((0, 1, 3))
+                ious = _oks_matrix(dk, gk, gts, self.kpt_oks_sigmas)
             scores, tp, ign = _eval_image(
                 det_boxes, det_scores, gts, gt_ignore, iscrowd, IOU_THRESHOLDS, ious=ious
             )

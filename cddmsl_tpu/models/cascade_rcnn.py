@@ -282,9 +282,20 @@ class CascadeRCNN(nn.Module):
         f = self.backbone(self._norm(batch.image))["res4"]
         proposals, _ = self.proposal_generator(f, batch.image_sizes, training=False)
         det, _ = self.roi_heads(f, proposals, batch.image_sizes, training=False)
-        return det
+        # detector_postprocess: rescale to the original image size
+        scale = (batch.orig_sizes / jnp.maximum(batch.image_sizes, 1)).astype(jnp.float32)
+        sxy = jnp.stack([scale[:, 1], scale[:, 0], scale[:, 1], scale[:, 0]], axis=-1)
+        boxes = det.boxes * sxy[:, None, :]
+        boxes = jax.vmap(lambda bx, hw: box_ops.clip(bx, (hw[0], hw[1])))(boxes, batch.orig_sizes)
+        return det._replace(boxes=boxes)
 
     def __call__(self, batch, rng: jax.Array):
         return self.losses(batch, rng)
 
     init_all = __call__
+
+    def cddmsl_losses(self, batch, rng: jax.Array, caption_on=None,
+                      kd_regularization: bool = True, enable_caption: bool = True):
+        """Trainer protocol (engine/train_loop.py make_train_step)."""
+        del caption_on, kd_regularization, enable_caption
+        return self.losses(batch, rng)

@@ -166,7 +166,23 @@ class RetinaNet(nn.Module):
             idx, valid = batched_nms(boxes, top_p, cls, self.nms_thresh, self.detections_per_image, valid=ok)
             return DetectionResult(boxes[idx], jnp.where(valid, top_p[idx], 0.0), cls[idx], valid)
 
-        return jax.vmap(per_image)(logits, deltas, batch.image_sizes)
+        det = jax.vmap(per_image)(logits, deltas, batch.image_sizes)
+        # detector_postprocess: rescale to the original image size
+        # (reference meta_arch/retinanet.py forward_inference + postprocess)
+        scale = (batch.orig_sizes / jnp.maximum(batch.image_sizes, 1)).astype(jnp.float32)
+        sxy = jnp.stack([scale[:, 1], scale[:, 0], scale[:, 1], scale[:, 0]], axis=-1)
+        boxes = det.boxes * sxy[:, None, :]
+        boxes = jax.vmap(lambda bx, hw: box_ops.clip(bx, (hw[0], hw[1])))(boxes, batch.orig_sizes)
+        return det._replace(boxes=boxes)
 
     def __call__(self, batch: DetBatch, rng: jax.Array):
+        return self.losses(batch, rng)
+
+    # ---- trainer protocol (engine/train_loop.py make_train_step) ----
+    def init_all(self, batch: DetBatch, rng: jax.Array):
+        return self.losses(batch, rng)
+
+    def cddmsl_losses(self, batch: DetBatch, rng: jax.Array, caption_on=None,
+                      kd_regularization: bool = True, enable_caption: bool = True):
+        del caption_on, kd_regularization, enable_caption
         return self.losses(batch, rng)

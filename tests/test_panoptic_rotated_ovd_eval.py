@@ -280,3 +280,24 @@ def test_ovd_registrations_present():
         "coco_2017_train_panoptic", "coco_2017_val_panoptic",
     ):
         assert name in DatasetCatalog.list(), name
+
+
+def test_keypoints_task_with_classwise_empty_gt():
+    """Regression: a class with detections but no GT in an image (or vice
+    versa) must not crash the keypoints task (np.stack on an empty list)."""
+    from cddmsl_tpu.data.catalog import MetadataCatalog
+    from cddmsl_tpu.evaluation.coco_eval import COCOEvaluator
+
+    MetadataCatalog.get("kp_empty_synth").set(
+        thing_classes=["a", "b"], keypoint_oks_sigmas=(0.1, 0.1, 0.1)
+    )
+    ev = COCOEvaluator("kp_empty_synth", tasks=("bbox", "keypoints"))
+    box = np.array([[10.0, 10.0, 50.0, 50.0]])
+    kps = np.array([[[20.0, 20.0, 2], [30, 30, 2], [40, 40, 2]]])
+    # GT only for class 0; detections for BOTH classes
+    ev.process_gt(0, box, np.array([0]), keypoints=kps)
+    ev.process(0, np.concatenate([box, box]), np.array([0.9, 0.8]),
+               np.array([0, 1]), keypoints=np.concatenate([kps, kps]))
+    res = ev.evaluate()["keypoints"]
+    assert np.isfinite(res["AP"])
+    assert res["AP"] == pytest.approx(100.0)  # class-0 det matches perfectly

@@ -41,6 +41,7 @@ def run_one(config_file: str, fixture_root: str) -> bool:
         register_synthetic_coco,
         register_synthetic_panoptic,
         register_synthetic_quick,
+        register_synthetic_semseg,
     )
     from cddmsl_tpu.engine.defaults import DefaultTrainer
     from cddmsl_tpu.evaluation import verify_results
@@ -48,6 +49,12 @@ def run_one(config_file: str, fixture_root: str) -> bool:
     register_synthetic_quick(fixture_root)
     register_synthetic_coco(fixture_root)
     register_synthetic_panoptic(fixture_root)
+    register_synthetic_semseg(fixture_root)
+    # keypoints fixture in its OWN subdir: the kp marker dots would change
+    # the segm golden's images if written over the plain coco fixture
+    register_synthetic_coco(
+        os.path.join(fixture_root, "kp"), prefix="synthetic_kp", with_keypoints=True
+    )
 
     cfg = get_cfg()
     add_ateacher_config(cfg)
