@@ -148,25 +148,48 @@ class RetinaNet(nn.Module):
         levels = self._features(batch.image)
         logits_l, deltas_l = self.head(levels)
         b = batch.image.shape[0]
-        anchors = self._anchors([l.shape[1:3] for l in levels])
-        logits = jnp.concatenate(
-            [l.reshape(b, -1, self.num_classes).astype(jnp.float32) for l in logits_l], axis=1
-        )
-        deltas = jnp.concatenate([d.reshape(b, -1, 4).astype(jnp.float32) for d in deltas_l], axis=1)
+        shapes = [l.shape[1:3] for l in levels]
 
-        def per_image(logit, delta, hw):
-            probs = jax.nn.sigmoid(logit).reshape(-1)
-            k = min(self.topk_candidates, probs.shape[0])
-            top_p, top_i = jax.lax.top_k(probs, k)
-            a_idx = top_i // self.num_classes
-            cls = (top_i % self.num_classes).astype(jnp.int32)
-            boxes = self.box2box.apply_deltas(delta[a_idx], anchors[a_idx])
-            boxes = box_ops.clip(boxes, (hw[0], hw[1]))
-            ok = top_p > self.score_thresh
-            idx, valid = batched_nms(boxes, top_p, cls, self.nms_thresh, self.detections_per_image, valid=ok)
-            return DetectionResult(boxes[idx], jnp.where(valid, top_p[idx], 0.0), cls[idx], valid)
+        # candidate selection is PER LEVEL (reference retinanet.py
+        # inference_single_image: topk_candidates + score filter on EACH
+        # level, then the merged candidates go through one batched NMS) —
+        # a global top-k would let a dense low-resolution level's noise
+        # crowd out sparse high-resolution candidates
+        cand_b, cand_s, cand_c = [], [], []
+        for logit_map, delta_map, (h, w), stride, sizes in zip(
+            logits_l, deltas_l, shapes, self.strides, self.anchor_sizes
+        ):
+            cell = generate_cell_anchors(tuple(sizes), tuple(self.aspect_ratios))
+            anchors = anchor_grid(h, w, stride, cell)
+            logit = logit_map.reshape(b, -1, self.num_classes).astype(jnp.float32)
+            delta = delta_map.reshape(b, -1, 4).astype(jnp.float32)
+            k = min(self.topk_candidates, logit.shape[1] * self.num_classes)
 
-        det = jax.vmap(per_image)(logits, deltas, batch.image_sizes)
+            def per_image(lg, dl, hw, anchors=anchors, k=k):
+                probs = jax.nn.sigmoid(lg).reshape(-1)
+                top_p, top_i = jax.lax.top_k(probs, k)
+                a_idx = top_i // self.num_classes
+                cls = (top_i % self.num_classes).astype(jnp.int32)
+                boxes = self.box2box.apply_deltas(dl[a_idx], anchors[a_idx])
+                boxes = box_ops.clip(boxes, (hw[0], hw[1]))
+                return boxes, jnp.where(top_p > self.score_thresh, top_p, 0.0), cls
+
+            bx, sc, cl = jax.vmap(per_image)(logit, delta, batch.image_sizes)
+            cand_b.append(bx)
+            cand_s.append(sc)
+            cand_c.append(cl)
+
+        boxes_all = jnp.concatenate(cand_b, axis=1)
+        scores_all = jnp.concatenate(cand_s, axis=1)
+        cls_all = jnp.concatenate(cand_c, axis=1)
+
+        def nms_per_image(bx, sc, cl):
+            idx, valid = batched_nms(
+                bx, sc, cl, self.nms_thresh, self.detections_per_image, valid=sc > 0
+            )
+            return DetectionResult(bx[idx], jnp.where(valid, sc[idx], 0.0), cl[idx], valid)
+
+        det = jax.vmap(nms_per_image)(boxes_all, scores_all, cls_all)
         # detector_postprocess: rescale to the original image size
         # (reference meta_arch/retinanet.py forward_inference + postprocess)
         scale = (batch.orig_sizes / jnp.maximum(batch.image_sizes, 1)).astype(jnp.float32)
