@@ -44,7 +44,7 @@ from ..models.rcnn import DetBatch
 from ..parallel import mesh_from_cfg, replicate, shard_batch
 from ..solver import build_lr_schedule, build_optimizer
 from ..utils.events import CommonMetricPrinter, EventStorage, JSONWriter, TensorboardXWriter
-from .train_loop import TrainState, make_eval_step, make_train_step
+from .train_loop import TrainState, make_eval_step, make_train_step, split_batch_stats
 
 logger = logging.getLogger(__name__)
 
@@ -262,7 +262,11 @@ class DefaultTrainer:
             )
         else:
             params = self.model.init({"params": rng}, init_b, rng, method=self.model.init_all)
-        self.optimizer = build_optimizer(cfg, params)
+        # mask/opt-state cover the differentiable collections only; SyncBN
+        # running stats ('batch_stats', when RESNETS/FPN/ROI_*_HEAD NORM is
+        # SyncBN) ride inside state.params but are updated by the forward
+        # pass, not the optimizer (train_loop.py split_batch_stats)
+        self.optimizer = build_optimizer(cfg, split_batch_stats(params)[0])
         self.state = TrainState.create(params, self.optimizer)
 
         self.lr_schedule = build_lr_schedule(cfg)
@@ -460,10 +464,38 @@ class DefaultTrainer:
         return results
 
     # ---- evaluation ----
+    def _maybe_precise_bn(self, cfg, params):
+        """TEST.PRECISE_BN (reference engine/hooks.py:397 PreciseBN +
+        fvcore update_bn_stats): before eval, re-estimate the SyncBN running
+        statistics as the equal-weight mean of true per-batch statistics
+        over NUM_ITER train batches. Applied to the eval-time params only
+        (the training EMA keeps evolving from its own stats)."""
+        if not cfg.TEST.PRECISE_BN.ENABLED:
+            return params
+        if not (isinstance(params, dict) and "batch_stats" in params):
+            return params  # no SyncBN in this model
+        from ..models.backbone.batch_norm import update_bn_stats
+
+        loader = build_detection_train_loader(cfg, seed=max(cfg.SEED, 0) + 777)
+        rng = jax.random.PRNGKey(max(cfg.SEED, 0) + 778)
+
+        @jax.jit
+        def fwd(variables, batch):
+            return self.model.apply(
+                variables, batch, rng, False, True, False,
+                method=self.model.cddmsl_losses, mutable=["batch_stats"],
+            )
+
+        n_iter = cfg.TEST.PRECISE_BN.NUM_ITER
+        batches = (next(loader) for _ in range(n_iter))
+        logger.info("PreciseBN: re-estimating batch_stats over %d batches", n_iter)
+        return update_bn_stats(fwd, params, batches)
+
     def test(self, cfg=None, state=None) -> Dict[str, dict]:
         cfg = cfg or self.cfg
         state = state if state is not None else self.state
         params = state.params if hasattr(state, "params") else state
+        params = self._maybe_precise_bn(cfg, params)
         if self._openset and cfg.MODEL.CLIP.OPENSET_TEST_TEXT_EMB_PATH:
             params = load_text_emb_classifier(params, cfg.MODEL.CLIP.OPENSET_TEST_TEXT_EMB_PATH)
         # mesh-sharded eval: round the eval batch up to a multiple of the

@@ -28,6 +28,18 @@ from ..models.rcnn import DetBatch, GeneralizedRCNN
 from ..solver.build import build_lr_schedule
 
 
+def split_batch_stats(variables):
+    """variables -> (differentiable collections, batch_stats or None).
+
+    Models whose norm is SyncBN (RESNETS/FPN/ROI_*_HEAD NORM=SyncBN) carry
+    running statistics in the flax 'batch_stats' collection inside
+    state.params; the optimizer and grads see only the other collections."""
+    if isinstance(variables, dict) and "batch_stats" in variables:
+        diff = {k: v for k, v in variables.items() if k != "batch_stats"}
+        return diff, variables["batch_stats"]
+    return variables, None
+
+
 class TrainState(struct.PyTreeNode):
     step: jnp.ndarray
     params: Any
@@ -38,7 +50,7 @@ class TrainState(struct.PyTreeNode):
         return cls(
             step=jnp.zeros((), jnp.int32),
             params=params,
-            opt_state=optimizer.init(params),
+            opt_state=optimizer.init(split_batch_stats(params)[0]),
         )
 
 
@@ -75,25 +87,37 @@ def make_train_step(
     detection losses use content-independent normalizers (images x
     sampler capacity) and decompose exactly."""
 
-    def loss_fn(params, batch: DetBatch, rng: jax.Array, step: jnp.ndarray):
-        losses = model.apply(
-            params,
+    def loss_fn(params, batch_stats, batch: DetBatch, rng: jax.Array, step: jnp.ndarray):
+        variables = params
+        mutable = False
+        if batch_stats is not None:
+            variables = dict(params)
+            variables["batch_stats"] = batch_stats
+            mutable = ["batch_stats"]
+        out = model.apply(
+            variables,
             batch,
             rng,
             step > caption_burnup_iters,
             kd_regularization,
             enable_caption,
             method=model.cddmsl_losses,
+            mutable=mutable,
         )
+        if batch_stats is not None:
+            losses, mutated = out
+            new_bs = mutated["batch_stats"]
+        else:
+            losses, new_bs = out, None
         total = jnp.sum(jnp.stack([v for v in losses.values()]))
-        return total, losses
+        return total, (losses, new_bs)
 
-    def grads_and_losses(state: TrainState, batch: DetBatch, rng: jax.Array):
+    def grads_and_losses(diff_params, batch_stats, step, batch: DetBatch, rng: jax.Array):
         if accum_steps <= 1:
-            (total, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-                state.params, batch, rng, state.step
+            (total, (losses, new_bs)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                diff_params, batch_stats, batch, rng, step
             )
-            return total, losses, grads
+            return total, losses, grads, new_bs
 
         def to_micro(x):
             assert x.shape[0] % accum_steps == 0, (
@@ -104,34 +128,44 @@ def make_train_step(
         micro = jax.tree_util.tree_map(to_micro, batch)
         rngs = jax.random.split(rng, accum_steps)
         first_mb = jax.tree_util.tree_map(lambda x: x[0], micro)
-        _, loss_shapes = jax.eval_shape(loss_fn, state.params, first_mb, rng, state.step)
+        _, (loss_shapes, _) = jax.eval_shape(
+            loss_fn, diff_params, batch_stats, first_mb, rng, step
+        )
 
         def body(carry, xs):
             mb, r = xs
-            (t, ls), g = jax.value_and_grad(loss_fn, has_aux=True)(
-                state.params, mb, r, state.step
+            acc_t, acc_l, acc_g, bs = carry
+            (t, (ls, new_bs)), g = jax.value_and_grad(loss_fn, has_aux=True)(
+                diff_params, bs, mb, r, step
             )
-            acc_t, acc_l, acc_g = carry
             return (
                 acc_t + t,
                 jax.tree_util.tree_map(jnp.add, acc_l, ls),
                 jax.tree_util.tree_map(jnp.add, acc_g, g),
+                new_bs,  # running stats roll forward across microbatches
             ), None
 
         init = (
             jnp.zeros((), jnp.float32),
             jax.tree_util.tree_map(lambda s: jnp.zeros(s.shape, s.dtype), loss_shapes),
-            jax.tree_util.tree_map(jnp.zeros_like, state.params),
+            jax.tree_util.tree_map(jnp.zeros_like, diff_params),
+            batch_stats,
         )
-        (total, losses, grads), _ = jax.lax.scan(body, init, (micro, rngs))
+        (total, losses, grads, new_bs), _ = jax.lax.scan(body, init, (micro, rngs))
         inv = 1.0 / accum_steps
         scale = lambda t: jax.tree_util.tree_map(lambda x: x * inv, t)
-        return total * inv, scale(losses), scale(grads)
+        return total * inv, scale(losses), scale(grads), new_bs
 
     def train_step(state: TrainState, batch: DetBatch, rng: jax.Array):
-        total, losses, grads = grads_and_losses(state, batch, rng)
-        updates, new_opt_state = optimizer.update(grads, state.opt_state, state.params)
-        new_params = optax.apply_updates(state.params, updates)
+        diff_params, batch_stats = split_batch_stats(state.params)
+        total, losses, grads, new_bs = grads_and_losses(
+            diff_params, batch_stats, state.step, batch, rng
+        )
+        updates, new_opt_state = optimizer.update(grads, state.opt_state, diff_params)
+        new_params = optax.apply_updates(diff_params, updates)
+        if new_bs is not None:
+            new_params = dict(new_params)
+            new_params["batch_stats"] = new_bs
         metrics = dict(losses)
         metrics["total_loss"] = total
         if lr_schedule is not None:

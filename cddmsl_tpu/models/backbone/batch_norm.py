@@ -33,7 +33,14 @@ class SyncBatchNorm(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x, train: bool = True):
+    def __call__(self, x, train: Optional[bool] = None):
+        if train is None:
+            # in-backbone use (RESNETS.NORM=SyncBN): train mode whenever the
+            # caller made 'batch_stats' mutable (the train step applies with
+            # mutable=['batch_stats']); every other apply — eval, mean-teacher
+            # target forwards, converters — gets running-stat behavior without
+            # any call-site signature change
+            train = self.is_mutable_collection("batch_stats")
         scale = self.param("weight", nn.initializers.ones, (self.features,))
         bias = self.param("bias", nn.initializers.zeros, (self.features,))
         ra_mean = self.variable(

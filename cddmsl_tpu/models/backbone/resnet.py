@@ -14,18 +14,24 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ...ops.deform_conv import deform_conv2d
-from .batch_norm import GroupNorm32
+from .batch_norm import GroupNorm32, SyncBatchNorm
 from .clip_resnet import FrozenBatchNorm, _avg_pool, _conv
 
 
 def _make_norm(norm: str, features: int, dtype, name: str):
     """reference layers/batch_norm.py get_norm subset: FrozenBN (the CDDMSL
-    default — also stands in for eval-mode "BN") or GN (32 groups)."""
+    default — also stands in for eval-mode "BN"), GN (32 groups), or SyncBN
+    (trainable, running stats in the 'batch_stats' collection; batch
+    statistics over the globally-sharded batch axis ARE cross-replica under
+    the one jitted step — the reference NaiveSyncBatchNorm's allreduce with
+    zero plumbing)."""
     if norm in ("FrozenBN", "BN", ""):
         return FrozenBatchNorm(features, dtype=dtype, name=name)
     if norm == "GN":
         return GroupNorm32(features, dtype=dtype, name=name)
-    raise ValueError(f"unsupported RESNETS.NORM {norm!r} (FrozenBN/BN/GN)")
+    if norm == "SyncBN":
+        return SyncBatchNorm(features, axis_name=None, dtype=dtype, name=name)
+    raise ValueError(f"unsupported RESNETS.NORM {norm!r} (FrozenBN/BN/GN/SyncBN)")
 
 D2_RESNET_SPECS = {
     10: [1, 1, 1, 1],  # compile-light test depth (not in the reference table)
@@ -140,7 +146,7 @@ class D2ResNet(nn.Module):
     res5_dilation: int = 1
     num_groups: int = 1  # ResNeXt cardinality (RESNETS.NUM_GROUPS)
     width_per_group: int = 64
-    norm: str = "FrozenBN"  # RESNETS.NORM: FrozenBN/BN/GN
+    norm: str = "FrozenBN"  # RESNETS.NORM: FrozenBN/BN/GN/SyncBN
     deform_on_per_stage: Sequence[bool] = (False, False, False, False)
     deform_modulated: bool = False
     stem_out_channels: int = 64
@@ -246,12 +252,16 @@ class FPN(nn.Module):
     out_channels: int = 256
     fuse_type: str = "sum"
     top_block_p6: bool = True
-    norm: str = ""  # MODEL.FPN.NORM ("" or "GN"; convs drop bias when set)
+    norm: str = ""  # MODEL.FPN.NORM ("", "GN" or "SyncBN"; convs drop bias when set)
     dtype: Any = jnp.float32
 
     def _norm(self, x, name):
         if self.norm == "GN":
             return GroupNorm32(self.out_channels, dtype=self.dtype, name=name)(x)
+        if self.norm == "SyncBN":
+            return SyncBatchNorm(
+                self.out_channels, axis_name=None, dtype=self.dtype, name=name
+            )(x)
         return x
 
     @nn.compact

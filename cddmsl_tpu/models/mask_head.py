@@ -20,13 +20,13 @@ class MaskRCNNConvUpsampleHead(nn.Module):
     num_conv: int = 0
     conv_dim: int = 256
     cls_agnostic: bool = False
-    conv_norm: str = ""  # ROI_MASK_HEAD.NORM ("" or "GN")
+    conv_norm: str = ""  # ROI_MASK_HEAD.NORM ("", "GN" or "SyncBN")
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         """x: (N, P, P, C) pooled features -> (N, 2P, 2P, K or 1) logits."""
-        from .backbone.batch_norm import GroupNorm32
+        from .backbone.batch_norm import GroupNorm32, SyncBatchNorm
 
         x = x.astype(self.dtype)
         for i in range(self.num_conv):
@@ -34,6 +34,9 @@ class MaskRCNNConvUpsampleHead(nn.Module):
                         dtype=self.dtype, param_dtype=jnp.float32, name=f"mask_fcn{i+1}")(x)
             if self.conv_norm == "GN":
                 x = GroupNorm32(self.conv_dim, dtype=self.dtype, name=f"mask_fcn{i+1}_gn")(x)
+            elif self.conv_norm == "SyncBN":
+                x = SyncBatchNorm(self.conv_dim, axis_name=None, dtype=self.dtype,
+                                  name=f"mask_fcn{i+1}_bn")(x)
             x = nn.relu(x)
         x = nn.relu(
             nn.ConvTranspose(self.conv_dim, (2, 2), strides=(2, 2), dtype=self.dtype,

@@ -413,7 +413,7 @@ class CLIPStandardROIHeads(nn.Module):
                 dtype=self.dtype,
             )
         if self.box_num_conv > 0:
-            from .backbone.batch_norm import GroupNorm32
+            from .backbone.batch_norm import GroupNorm32, SyncBatchNorm
 
             self.box_head_convs = [
                 nn.Conv(
@@ -424,12 +424,22 @@ class CLIPStandardROIHeads(nn.Module):
                 )
                 for i in range(self.box_num_conv)
             ]
-            self.box_head_conv_norms = [
-                GroupNorm32(self.box_conv_dim, dtype=self.dtype, name=f"box_head_conv{i + 1}_gn")
-                if self.box_conv_norm == "GN"
-                else None
-                for i in range(self.box_num_conv)
-            ]
+
+            def _head_norm(i):
+                if self.box_conv_norm == "GN":
+                    return GroupNorm32(
+                        self.box_conv_dim, dtype=self.dtype, name=f"box_head_conv{i + 1}_gn"
+                    )
+                if self.box_conv_norm == "SyncBN":
+                    # batch axis = all sampled regions across the global batch
+                    # (reference FastRCNNConvFCHead with get_norm("SyncBN"))
+                    return SyncBatchNorm(
+                        self.box_conv_dim, axis_name=None, dtype=self.dtype,
+                        name=f"box_head_conv{i + 1}_bn",
+                    )
+                return None
+
+            self.box_head_conv_norms = [_head_norm(i) for i in range(self.box_num_conv)]
         assert self.box_num_fc in (1, 2), "ROI_BOX_HEAD.NUM_FC must be 1 or 2"
         self.box_head_fc1 = nn.Dense(self.fc_dim, dtype=self.dtype, param_dtype=jnp.float32)
         if self.box_num_fc == 2:

@@ -11,7 +11,7 @@ leaves get zeroed updates and no weight decay.
 """
 
 import math
-from typing import Any, Callable, Dict, Sequence, Tuple
+from typing import Any, Callable, Dict, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -64,13 +64,28 @@ _ALWAYS_FROZEN_SUBTREES = (
 _FROZEN_BN_PARAMS = ("running_mean", "running_var")
 
 
-def path_is_frozen(path: Tuple[str, ...], freeze_at: int = 2, use_text_emb: bool = True) -> bool:
+def path_is_frozen(
+    path: Tuple[str, ...],
+    freeze_at: int = 2,
+    use_text_emb: bool = True,
+    frozen_bn_prefixes: Optional[set] = None,
+) -> bool:
     parts = [str(p) for p in path]
     if any(p in _ALWAYS_FROZEN_SUBTREES for p in parts):
         return True
-    # FrozenBN: all four buffers are non-trainable in the reference
-    if any(p.startswith("bn") or p.endswith("_bn") for p in parts):
-        return True
+    # FrozenBN: all four buffers are non-trainable in the reference. A
+    # SyncBN module (RESNETS.NORM=SyncBN) reuses the same bn* names but
+    # keeps its running stats in the 'batch_stats' collection, so its
+    # weight/bias ARE trainable: when the caller supplies the set of
+    # bn-module prefixes that carry running stats in params (= FrozenBN),
+    # only those subtrees freeze; without it, any bn-named path counts.
+    if frozen_bn_prefixes is None:
+        if any(p.startswith("bn") or p.endswith("_bn") for p in parts):
+            return True
+    else:
+        for i in range(1, len(parts) + 1):
+            if tuple(parts[:i]) in frozen_bn_prefixes:
+                return True
     if parts[-1] in _FROZEN_BN_PARAMS:
         return True
     # text-embedding classifier rows are frozen (fast_rcnn.py:448-455)
@@ -94,9 +109,17 @@ def trainable_mask(params, freeze_at: int = 2, use_text_emb: bool = True):
     """Pytree of bools: True = trainable."""
     flat = jax.tree_util.tree_flatten_with_path(params)[0]
 
+    def keys_of(path):
+        return tuple(getattr(k, "key", getattr(k, "idx", str(k))) for k in path)
+
+    # bn modules whose running stats live in params are FrozenBN; bn-named
+    # modules WITHOUT them are SyncBN (stats in 'batch_stats') and trainable
+    frozen_bn = {
+        keys_of(p)[:-1] for p, _ in flat if str(keys_of(p)[-1]) == "running_mean"
+    }
+
     def one(path):
-        keys = tuple(getattr(k, "key", getattr(k, "idx", str(k))) for k in path)
-        return not path_is_frozen(keys, freeze_at, use_text_emb)
+        return not path_is_frozen(keys_of(path), freeze_at, use_text_emb, frozen_bn)
 
     leaves = {tuple(p): one(p) for p, _ in flat}
     return jax.tree_util.tree_map_with_path(lambda p, _: leaves[tuple(p)], params)
