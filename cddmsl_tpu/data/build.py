@@ -179,6 +179,14 @@ def pad_and_collate(
             if gt_masks is not None and s.get("polygons"):
                 # rasterize in the PADDED canvas so box coords line up
                 gt_masks[i, :n] = rasterize_polygons(s["polygons"][:n], (H, W), mask_stride)
+            elif gt_masks is not None and s.get("bitmasks") is not None:
+                # panoptic path: per-thing bitmasks cut from the id map
+                # (image coords) -> strided canvas, same layout as polygons
+                ch, cw = gt_masks.shape[2], gt_masks.shape[3]
+                for j, bm in enumerate(s["bitmasks"][:n]):
+                    canvas = np.zeros((H, W), np.float32)
+                    canvas[: bm.shape[0], : bm.shape[1]] = bm
+                    gt_masks[i, j] = canvas[::mask_stride, ::mask_stride][:ch, :cw]
             if gt_keypoints is not None and s.get("keypoints") is not None and len(s["keypoints"]):
                 kp = np.asarray(s["keypoints"], np.float32)[:n]
                 gt_keypoints[i, :n, : kp.shape[1]] = kp[:, :num_keypoints]

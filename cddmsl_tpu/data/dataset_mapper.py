@@ -220,9 +220,13 @@ class PanopticDatasetMapper:
         self.augmentations = build_augmentation(cfg, is_train)
         self.image_format = cfg.INPUT.FORMAT
         self.ignore_label = cfg.MODEL.SEM_SEG_HEAD.IGNORE_VALUE
+        # MASK_ON: thing instance masks cut from the panoptic id map ride
+        # along as bitmasks (reference panoptic training uses the instances
+        # json; the id map carries identical pixel sets)
+        self.use_instance_mask = cfg.MODEL.MASK_ON
 
     def __call__(self, dataset_dict: dict, rng: np.random.RandomState) -> dict:
-        from .datasets.coco_panoptic import panoptic_png_to_sem_seg
+        from .datasets.coco_panoptic import panoptic_png_to_sem_seg, rgb2id
 
         d = dict(dataset_dict)
         image = read_image(d["file_name"], self.image_format)
@@ -233,22 +237,28 @@ class PanopticDatasetMapper:
         pan = np.asarray(Image.open(d["pan_seg_file_name"]).convert("RGB"))
         sem = panoptic_png_to_sem_seg(pan, d["segments_info"], self.ignore_label)
         sem_t = tfms.apply_segmentation(sem)  # NEAREST resampling
+        ids_t = None
+        if self.use_instance_mask:
+            # transform the id map once with the same NEAREST semantics
+            ids_t = tfms.apply_segmentation(rgb2id(pan).astype(np.int32))
 
-        boxes, classes = [], []
+        boxes, classes, seg_ids = [], [], []
         for seg in d["segments_info"]:
             if seg["isthing"] and seg.get("bbox") is not None:
                 x, y, w, h = seg["bbox"]
                 boxes.append([x, y, x + w, y + h])
                 classes.append(seg["category_id"])
+                seg_ids.append(seg["id"])
         boxes = np.asarray(boxes, np.float32).reshape(-1, 4)
         classes = np.asarray(classes, np.int32).reshape(-1)
+        seg_ids = np.asarray(seg_ids, np.int32).reshape(-1)
         if len(boxes):
             boxes = tfms.apply_box(boxes)
             boxes[:, 0::2] = boxes[:, 0::2].clip(0, hw[1])
             boxes[:, 1::2] = boxes[:, 1::2].clip(0, hw[0])
             keep = (boxes[:, 2] > boxes[:, 0]) & (boxes[:, 3] > boxes[:, 1])
-            boxes, classes = boxes[keep], classes[keep]
-        return {
+            boxes, classes, seg_ids = boxes[keep], classes[keep], seg_ids[keep]
+        out = {
             "image": image,
             "hw": np.asarray(hw, np.int32),
             "orig_hw": np.asarray(orig_hw, np.int32),
@@ -257,3 +267,8 @@ class PanopticDatasetMapper:
             "classes": classes,
             "sem_seg": sem_t.astype(np.int32),
         }
+        if ids_t is not None:
+            out["bitmasks"] = [
+                (ids_t == sid).astype(np.float32) for sid in seg_ids
+            ]
+        return out

@@ -282,6 +282,7 @@ def inference_on_dataset_panoptic(
         scores = np.asarray(det.scores)
         classes = np.asarray(det.classes)
         valid = np.asarray(det.valid)
+        masks = np.asarray(det.masks) if det.masks is not None else None
         sem = np.asarray(sem_seg)
         sizes = np.asarray(batch.image_sizes)
         origs = np.asarray(batch.orig_sizes)
@@ -292,7 +293,8 @@ def inference_on_dataset_panoptic(
             sx, sy = ow / max(w, 1), oh / max(h, 1)
             boxes_i = boxes[i] * np.array([sx, sy, sx, sy], np.float32)
             pan, segs = combine_semantic_and_instance_outputs(
-                boxes_i, scores[i], classes[i], valid[i], sem_i, **kw
+                boxes_i, scores[i], classes[i], valid[i], sem_i,
+                det_masks=masks[i] if masks is not None else None, **kw
             )
             evaluator.process(meta["image_id"], pan, segs)
             gt_map, gt_segs = _load_gt_panoptic(meta)

@@ -277,6 +277,19 @@ def build_panoptic_fpn(cfg):
         depth=cfg.MODEL.RESNETS.DEPTH,
         instance_loss_weight=cfg.MODEL.PANOPTIC_FPN.INSTANCE_LOSS_WEIGHT,
         sem_seg_loss_weight=cfg.MODEL.SEM_SEG_HEAD.LOSS_WEIGHT,
+        # Misc/panoptic_fpn_R_101_dconv_cascade_gn_3x: GN backbone/FPN,
+        # DCN on res3-res5, CascadeROIHeads
+        backbone_norm=cfg.MODEL.RESNETS.NORM,
+        fpn_norm=cfg.MODEL.FPN.NORM,
+        stride_in_1x1=cfg.MODEL.RESNETS.STRIDE_IN_1X1,
+        deform_on_per_stage=tuple(cfg.MODEL.RESNETS.DEFORM_ON_PER_STAGE),
+        deform_modulated=cfg.MODEL.RESNETS.DEFORM_MODULATED,
+        cascade=cfg.MODEL.ROI_HEADS.NAME == "CascadeROIHeads",
+        backbone_width=cfg.TPU.BACKBONE_WIDTH,
+        mask_on=cfg.MODEL.MASK_ON,
+        mask_num_conv=cfg.MODEL.ROI_MASK_HEAD.NUM_CONV,
+        mask_conv_dim=cfg.MODEL.ROI_MASK_HEAD.CONV_DIM,
+        mask_canvas_stride=float(cfg.TPU.MASK_CANVAS_STRIDE),
         pixel_mean=tuple(cfg.MODEL.PIXEL_MEAN),
         pixel_std=tuple(cfg.MODEL.PIXEL_STD),
         dtype=_dtype(cfg),

@@ -27,13 +27,34 @@ class PanopticFPN(nn.Module):
     sem_seg_loss_weight: float = 0.5
     pixel_mean: Sequence[float] = (103.53, 116.28, 123.675)
     pixel_std: Sequence[float] = (1.0, 1.0, 1.0)
+    # Misc/panoptic_fpn_R_101_dconv_cascade_gn_3x knobs (reference: GN on
+    # backbone to support semantic seg, cascade + deform conv for
+    # localization)
+    backbone_norm: str = "FrozenBN"
+    fpn_norm: str = ""
+    stride_in_1x1: bool = True
+    deform_on_per_stage: Sequence[bool] = (False, False, False, False)
+    deform_modulated: bool = False
+    cascade: bool = False
+    backbone_width: int = 0  # compile-light override (tests)
+    # instance mask branch (reference Base-Panoptic-FPN.yaml MASK_ON: True —
+    # PanopticFPN is Mask R-CNN + semseg; the combine paints MASKS)
+    mask_on: bool = False
+    mask_num_conv: int = 4
+    mask_conv_dim: int = 256
+    mask_canvas_stride: float = 4.0
     dtype: Any = jnp.float32
 
     def setup(self):
         self.backbone = D2ResNet(
-            depth=self.depth, out_features=("res2", "res3", "res4", "res5"), dtype=self.dtype
+            depth=self.depth, out_features=("res2", "res3", "res4", "res5"),
+            norm=self.backbone_norm, stride_in_1x1=self.stride_in_1x1,
+            deform_on_per_stage=tuple(self.deform_on_per_stage),
+            deform_modulated=self.deform_modulated,
+            width_per_group=self.backbone_width or 64, dtype=self.dtype,
         )
-        self.fpn = FPN(in_features=("res2", "res3", "res4", "res5"), top_block_p6=False, dtype=self.dtype)
+        self.fpn = FPN(in_features=("res2", "res3", "res4", "res5"), top_block_p6=False,
+                       norm=self.fpn_norm, dtype=self.dtype)
         self.proposal_generator = RPN(
             in_channels=256, stride=4,  # applied per level with its own stride below
             anchor_sizes=(32,), anchor_aspect_ratios=(0.5, 1.0, 2.0),
@@ -41,10 +62,30 @@ class PanopticFPN(nn.Module):
             post_nms_topk_train=64, post_nms_topk_test=32,
             dtype=self.dtype,
         )
-        self.roi_heads = CLIPStandardROIHeads(
-            num_classes=self.num_classes, use_text_emb=False,
-            batch_size_per_image=64, emb_dim=1024, dtype=self.dtype,
-        )
+        if self.cascade:
+            # ROI_HEADS.NAME=CascadeROIHeads (cascade deltas are
+            # class-agnostic by construction, matching the config's
+            # CLS_AGNOSTIC_BBOX_REG: True)
+            from .cascade_rcnn import CascadeROIHeads
+
+            self.roi_heads = CascadeROIHeads(
+                num_classes=self.num_classes,
+                pooler_scales=(1 / 4, 1 / 8, 1 / 16, 1 / 32),
+                batch_size_per_image=64,
+                mask_on=self.mask_on, mask_num_conv=self.mask_num_conv,
+                mask_conv_dim=self.mask_conv_dim,
+                mask_canvas_stride=self.mask_canvas_stride,
+                dtype=self.dtype,
+            )
+        else:
+            self.roi_heads = CLIPStandardROIHeads(
+                num_classes=self.num_classes, use_text_emb=False,
+                batch_size_per_image=64, emb_dim=1024,
+                mask_on=self.mask_on, mask_num_conv=self.mask_num_conv,
+                mask_conv_dim=self.mask_conv_dim,
+                mask_canvas_stride=self.mask_canvas_stride,
+                dtype=self.dtype,
+            )
         self.sem_seg_head = SemSegFPNHead(num_classes=self.sem_seg_classes, dtype=self.dtype)
 
     def _norm(self, images):
@@ -75,7 +116,8 @@ class PanopticFPN(nn.Module):
         _, det_losses = self.roi_heads(
             levels, proposals, batch.image_sizes, training=True,
             gt_boxes=batch.gt_boxes, gt_classes=batch.gt_classes,
-            gt_valid=batch.gt_valid, rng=k2,
+            gt_valid=batch.gt_valid,
+            gt_masks=batch.gt_masks if self.mask_on else None, rng=k2,
         )
         logits = self._sem_logits(levels, batch.image.shape[1:3])
         valid = sem_seg_gt != 255
@@ -133,11 +175,12 @@ def combine_semantic_and_instance_outputs(
     overlap_threshold: float = 0.5,
     stuff_area_limit: int = 4096,
     instances_score_thresh: float = 0.5,
+    det_masks: Optional[np.ndarray] = None,  # (D, m, m) box-space probs
 ) -> Tuple[np.ndarray, list]:
     """Host-side combine (reference panoptic_fpn.py:
-    combine_semantic_and_instance_outputs): paint confident instances (as
-    their boxes when no masks) in score order, then large stuff regions.
-    Returns (panoptic_seg ids, segments_info)."""
+    combine_semantic_and_instance_outputs): paint confident instances (their
+    pasted masks when MASK_ON, else their boxes) in score order, then large
+    stuff regions. Returns (panoptic_seg ids, segments_info)."""
     H, W = sem_seg.shape
     panoptic = np.zeros((H, W), np.int32)
     segments = []
@@ -149,8 +192,15 @@ def combine_semantic_and_instance_outputs(
         x1, y1, x2, y2 = det_boxes[i].astype(int)
         x1, y1 = max(x1, 0), max(y1, 0)
         x2, y2 = min(x2, W), min(y2, H)
-        mask = np.zeros((H, W), bool)
-        mask[y1:y2, x1:x2] = True
+        if det_masks is not None:
+            from ..evaluation.masks import paste_masks_np
+
+            mask = paste_masks_np(
+                det_masks[i : i + 1], det_boxes[i : i + 1], (H, W)
+            )[0].astype(bool)
+        else:
+            mask = np.zeros((H, W), bool)
+            mask[y1:y2, x1:x2] = True
         area = mask.sum()
         if area == 0:
             continue

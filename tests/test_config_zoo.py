@@ -108,3 +108,40 @@ def test_zoo_config_one_loss_step(rel, extra):
         assert "loss_keypoint" in losses
     if "cascade" in rel:
         assert "loss_cls_stage2" in losses
+
+
+def test_panoptic_dconv_cascade_gn_config():
+    """Misc/panoptic_fpn_R_101_dconv_cascade_gn_3x.yaml (reference: 'a large
+    PanopticFPN for demo purposes' — GN backbone/FPN, DCN on res3-5,
+    CascadeROIHeads): knobs propagate, and a compile-light clone runs one
+    loss step + inference."""
+    from cddmsl_tpu.models.panoptic_fpn import PanopticFPN
+    from cddmsl_tpu.utils.testing import materialize_params
+
+    cfg = get_cfg()
+    cfg.merge_from_file(
+        os.path.join(CONFIGS, "Misc/panoptic_fpn_R_101_dconv_cascade_gn_3x.yaml")
+    )
+    m = build_model(cfg)
+    assert isinstance(m, PanopticFPN) and m.cascade
+    assert m.depth == 101 and m.backbone_norm == "GN" and m.fpn_norm == "GN"
+    assert tuple(m.deform_on_per_stage) == (False, True, True, True)
+    assert not m.stride_in_1x1
+
+    tiny = m.clone(depth=10, backbone_width=8, sem_seg_classes=6, num_classes=4)
+    b = _batch(4)
+    r = np.random.RandomState(0)
+    sem_gt = jnp.asarray(r.randint(0, 6, (2, 64, 96)), jnp.int32)
+    rng = jax.random.PRNGKey(0)
+    params = materialize_params(
+        lambda r_, bb: tiny.init({"params": r_}, bb, sem_gt, r_), rng, b
+    )
+    # GN (not BN) in the backbone, cascade stage heads present
+    assert "running_mean" not in params["params"]["backbone"]["stem_bn1"]
+    assert "stage2" in params["params"]["roi_heads"]
+    losses = tiny.apply(params, b, sem_gt, rng)
+    assert "loss_sem_seg" in losses and "loss_cls_stage2" in losses
+    for k, v in losses.items():
+        assert np.isfinite(float(v)), k
+    det, sem = tiny.apply(params, b, method=tiny.inference)
+    assert sem.shape == (2, 64, 96)
