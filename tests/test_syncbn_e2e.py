@@ -168,3 +168,66 @@ def test_syncbn_grad_accum_carries_stats():
     rm2 = np.asarray(s2.params["batch_stats"]["backbone"]["stem_bn1"]["running_mean"])
     # both moved off the zero init, via different (1 vs 2) EMA applications
     assert np.abs(rm1).max() > 0 and np.abs(rm2).max() > 0
+
+
+@pytest.mark.slow
+def test_precise_bn_through_trainer(tmp_path):
+    """TEST.PRECISE_BN wiring (reference hooks.py:397 PreciseBN): a
+    compile-light syncbn-config DefaultTrainer re-estimates batch_stats from
+    train batches in _maybe_precise_bn, leaving every other collection
+    untouched."""
+    from cddmsl_tpu.data.catalog import DatasetCatalog
+    from cddmsl_tpu.data.datasets.synthetic import register_synthetic_coco
+    from cddmsl_tpu.engine.defaults import DefaultTrainer
+
+    register_synthetic_coco(str(tmp_path), prefix="syncbn_fixture")
+    try:
+        cfg = get_cfg()
+        cfg.merge_from_file(os.path.join(CONFIGS, "Misc/mask_rcnn_R_50_FPN_3x_syncbn.yaml"))
+        cfg.OUTPUT_DIR = str(tmp_path / "out")
+        cfg.DATASETS.TRAIN = ["syncbn_fixture_train"]
+        cfg.DATASETS.TEST = []
+        cfg.MODEL.ROI_HEADS.NUM_CLASSES = 4
+        cfg.MODEL.RESNETS.DEPTH = 10
+        cfg.TPU.BACKBONE_WIDTH = 8
+        cfg.MODEL.ROI_BOX_HEAD.FC_DIM = 32
+        cfg.MODEL.ROI_BOX_HEAD.CONV_DIM = 16
+        cfg.MODEL.ROI_BOX_HEAD.NUM_CONV = 1
+        cfg.MODEL.ROI_MASK_HEAD.CONV_DIM = 8
+        cfg.MODEL.ROI_MASK_HEAD.NUM_CONV = 1
+        cfg.MODEL.RPN.PRE_NMS_TOPK_TRAIN = 64
+        cfg.MODEL.RPN.POST_NMS_TOPK_TRAIN = 32
+        cfg.MODEL.ROI_HEADS.BATCH_SIZE_PER_IMAGE = 16
+        cfg.INPUT.MIN_SIZE_TRAIN = [96]
+        cfg.INPUT.MAX_SIZE_TRAIN = 160
+        cfg.SOLVER.IMS_PER_BATCH = 2
+        cfg.TPU.PAD_SIZE_TRAIN = [96, 160]
+        cfg.TPU.PAD_SIZE_TEST = [96, 160]
+        cfg.TPU.MAX_GT_BOXES = 8
+        cfg.TPU.MESH_SHAPE = [1]
+        cfg.TPU.COMPUTE_DTYPE = "float32"
+        cfg.TPU.FAST_INIT = True
+        cfg.TEST.PRECISE_BN.NUM_ITER = 2
+
+        trainer = DefaultTrainer(cfg)
+        p0 = trainer.state.params
+        assert "batch_stats" in p0
+        p1 = trainer._maybe_precise_bn(cfg, p0)
+        rm0 = np.asarray(p0["batch_stats"]["backbone"]["stem_bn1"]["running_mean"])
+        rm1 = np.asarray(p1["batch_stats"]["backbone"]["stem_bn1"]["running_mean"])
+        assert not np.allclose(rm0, rm1)  # re-estimated from real batches
+        # differentiable collections untouched
+        w0 = np.asarray(p0["params"]["backbone"]["stem_bn1"]["weight"])
+        w1 = np.asarray(p1["params"]["backbone"]["stem_bn1"]["weight"])
+        np.testing.assert_array_equal(w0, w1)
+        # disabled -> no-op passthrough
+        cfg.defrost()
+        cfg.TEST.PRECISE_BN.ENABLED = False
+        assert trainer._maybe_precise_bn(cfg, p0) is p0
+    finally:
+        from cddmsl_tpu.data.build import stop_all_prefetchers
+
+        stop_all_prefetchers()
+        for n in ("syncbn_fixture_train", "syncbn_fixture_val"):
+            if n in DatasetCatalog:
+                DatasetCatalog.remove(n)
