@@ -437,6 +437,50 @@ def convert_d2_fpn_rcnn(
     return tree
 
 
+def convert_d2_retinanet(sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
+    """d2 RetinaNet checkpoint -> RetinaNet flax tree. Reference naming
+    (modeling/meta_arch/retinanet.py RetinaNetHead + backbone/fpn.py
+    LastLevelP6P7): 'backbone.bottom_up.*' ResNet, 'backbone.fpn_lateral
+    {3-5}/fpn_output{3-5}', 'backbone.top_block.p{6,7}', and the head's
+    'head.{cls,bbox}_subnet.{0,2,4,6}' Sequential convs (odd indices are
+    ReLUs) + 'head.cls_score/bbox_pred'."""
+    tree: Dict[str, Any] = {"backbone": convert_d2_resnet(sd, "backbone.bottom_up.")}
+    fpn: Dict[str, Any] = {}
+    head: Dict[str, Any] = {}
+    for key, val in sd.items():
+        m = re.match(r"^backbone\.fpn_(lateral|output)(\d)\.(weight|bias)$", key)
+        if m:
+            kind, lvl, part = m.groups()
+            _set(fpn, (f"{kind}_res{lvl}", "kernel" if part == "weight" else "bias"),
+                 _conv(val) if part == "weight" else val)
+            continue
+        m = re.match(r"^backbone\.top_block\.p(\d)\.(weight|bias)$", key)
+        if m:
+            lvl, part = m.groups()
+            _set(fpn, (f"top_block_p{lvl}", "kernel" if part == "weight" else "bias"),
+                 _conv(val) if part == "weight" else val)
+            continue
+        m = re.match(r"^head\.(cls|bbox)_subnet\.(\d+)\.(weight|bias)$", key)
+        if m:
+            kind, idx, part = m.groups()
+            # Sequential(conv, relu, conv, relu, ...) -> conv index i//2
+            name = f"{'cls' if kind == 'cls' else 'box'}_conv{int(idx) // 2}"
+            _set(head, (name, "kernel" if part == "weight" else "bias"),
+                 _conv(val) if part == "weight" else val)
+            continue
+        m = re.match(r"^head\.(cls_score|bbox_pred)\.(weight|bias)$", key)
+        if m:
+            name, part = m.groups()
+            _set(head, (name, "kernel" if part == "weight" else "bias"),
+                 _conv(val) if part == "weight" else val)
+            continue
+    if fpn:
+        tree["fpn"] = fpn
+    if head:
+        tree["head"] = head
+    return tree
+
+
 def load_bb_rpn_weights(params: Dict[str, Any], path: str) -> Dict[str, Any]:
     """Second checkpoint for the FROZEN offline backbone + RPN of
     CLIPFastRCNN (reference clip_model_loading.py:216 bb_rpn_weights branch +
@@ -460,6 +504,8 @@ def detect_dialect(sd: Dict[str, np.ndarray]) -> str:
         return "clipcap"
     if any(k.startswith("visual.") for k in keys):
         return "oai_clip"
+    if any(k.startswith("head.cls_subnet.") for k in keys):
+        return "d2_retinanet"
     if any(k.startswith("backbone.bottom_up.") or k.startswith("backbone.fpn_lateral") for k in keys):
         return "d2_fpn"
     if any(k.startswith("backbone.") for k in keys):
@@ -517,6 +563,8 @@ def load_rcnn_weights(params: Dict[str, Any], path: str) -> Dict[str, Any]:
         # FPN-family detector checkpoints (Base-RCNN-FPN zoo); tree layout is
         # FPNRCNN's (backbone / fpn / proposal_generator / roi_heads)
         _merge(tree, convert_d2_fpn_rcnn(sd))
+    elif dialect == "d2_retinanet":
+        _merge(tree, convert_d2_retinanet(sd))
     elif dialect == "clipcap":
         _merge(tree["v2l_mapper"], convert_clipcap_mapper(sd))
     elif dialect == "lang":

@@ -246,12 +246,18 @@ class D2ResNet(nn.Module):
 class FPN(nn.Module):
     """Feature Pyramid Network (reference backbone/fpn.py:277): lateral 1x1 +
     3x3 output convs, top-down nearest upsampling, optional top block
-    (maxpool p6)."""
+    (maxpool p6, or the RetinaNet-style learned p6/p7 convs of
+    fpn.py LastLevelP6P7)."""
 
     in_features: Sequence[str] = ("res2", "res3", "res4", "res5")
     out_channels: int = 256
     fuse_type: str = "sum"
     top_block_p6: bool = True
+    # "" -> legacy behavior (maxpool extra level iff top_block_p6);
+    # "p6p7" -> two learned stride-2 3x3 convs from the LAST bottom-up
+    # feature (reference LastLevelP6P7, in_feature="res5" for RetinaNet:
+    # p6 = conv(res5), p7 = conv(relu(p6)))
+    top_block: str = ""
     norm: str = ""  # MODEL.FPN.NORM ("", "GN" or "SyncBN"; convs drop bias when set)
     dtype: Any = jnp.float32
 
@@ -298,7 +304,18 @@ class FPN(nn.Module):
                 )(r),
                 f"output_{f}_gn",
             )
-        if self.top_block_p6:
+        if self.top_block == "p6p7":
+            src = bottom_up[self.in_features[-1]].astype(self.dtype)
+            p6 = nn.Conv(
+                self.out_channels, (3, 3), strides=(2, 2), padding=1,
+                dtype=self.dtype, param_dtype=jnp.float32, name="top_block_p6",
+            )(src)
+            outputs[f"p{len(self.in_features) + 2}"] = p6
+            outputs[f"p{len(self.in_features) + 3}"] = nn.Conv(
+                self.out_channels, (3, 3), strides=(2, 2), padding=1,
+                dtype=self.dtype, param_dtype=jnp.float32, name="top_block_p7",
+            )(nn.relu(p6))
+        elif self.top_block_p6:
             last = outputs[f"p{len(self.in_features) + 1}"]
             outputs[f"p{len(self.in_features) + 2}"] = nn.max_pool(
                 last, (1, 1), strides=(2, 2)

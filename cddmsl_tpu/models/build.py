@@ -192,9 +192,18 @@ def build_retinanet(cfg):
     from .retinanet import RetinaNet
 
     r = cfg.MODEL.RETINANET
+    sizes = tuple(tuple(float(x) for x in lvl) for lvl in cfg.MODEL.ANCHOR_GENERATOR.SIZES)
+    if len(sizes) == 1:
+        # d2 DefaultAnchorGenerator broadcasts a single size list over all
+        # feature levels; RetinaNet has 5 (p3..p7)
+        sizes = sizes * 5
     return RetinaNet(
         num_classes=r.NUM_CLASSES,
         depth=cfg.MODEL.RESNETS.DEPTH,
+        anchor_sizes=sizes,
+        aspect_ratios=tuple(float(a) for a in cfg.MODEL.ANCHOR_GENERATOR.ASPECT_RATIOS[0]),
+        iou_thresholds=tuple(r.IOU_THRESHOLDS),
+        iou_labels=tuple(r.IOU_LABELS),
         focal_alpha=r.FOCAL_LOSS_ALPHA,
         focal_gamma=r.FOCAL_LOSS_GAMMA,
         smooth_l1_beta=r.SMOOTH_L1_LOSS_BETA,

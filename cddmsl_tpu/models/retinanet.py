@@ -66,45 +66,74 @@ class RetinaNet(nn.Module):
     num_classes: int = 80
     depth: int = 50
     in_features: Sequence[str] = ("p3", "p4", "p5", "p6", "p7")
-    anchor_sizes: Sequence[Sequence[float]] = ((32, 40, 50), (64, 81, 101), (128, 161, 203), (256, 322, 406), (512, 645, 813))
+    # [x, x*2^(1/3), x*2^(2/3)] per octave (reference Base-RetinaNet.yaml's
+    # unsafe-eval anchor expression, expanded)
+    anchor_sizes: Sequence[Sequence[float]] = tuple(
+        tuple(s * 2.0 ** (k / 3.0) for k in range(3)) for s in (32, 64, 128, 256, 512)
+    )
     aspect_ratios: Sequence[float] = (0.5, 1.0, 2.0)
     strides: Sequence[int] = (8, 16, 32, 64, 128)
+    iou_thresholds: Sequence[float] = (0.4, 0.5)
+    iou_labels: Sequence[int] = (0, -1, 1)
     focal_alpha: float = 0.25
     focal_gamma: float = 2.0
     smooth_l1_beta: float = 0.1
+    # reference retinanet.py:154-155 — losses are normalized by an EMA of
+    # the per-step foreground-anchor count (init 100, momentum 0.9), carried
+    # here as a 'batch_stats' variable the train step threads through
+    loss_normalizer_momentum: float = 0.9
     score_thresh: float = 0.05
     nms_thresh: float = 0.5
     topk_candidates: int = 1000
     detections_per_image: int = 100
     pixel_mean: Sequence[float] = (103.53, 116.28, 123.675)
     pixel_std: Sequence[float] = (1.0, 1.0, 1.0)
+    backbone_width: int = 0  # width_per_group override for tiny test nets
+    res2_out_channels: int = 256
+    fpn_out_channels: int = 256
+    head_conv_dims: Optional[Sequence[int]] = None
     dtype: Any = jnp.float32
 
     def setup(self):
-        self.backbone = D2ResNet(depth=self.depth, out_features=("res3", "res4", "res5"), dtype=self.dtype)
-        self.fpn = FPN(in_features=("res3", "res4", "res5"), top_block_p6=True, dtype=self.dtype)
+        self.backbone = D2ResNet(
+            depth=self.depth, out_features=("res3", "res4", "res5"),
+            width_per_group=self.backbone_width or 64,
+            res2_out_channels=self.res2_out_channels, dtype=self.dtype,
+        )
+        # reference build_retinanet_resnet_fpn_backbone: LastLevelP6P7 learned
+        # stride-2 convs fed from res5 (NOT a maxpool like Base-RCNN-FPN's p6)
+        self.fpn = FPN(
+            in_features=("res3", "res4", "res5"), out_channels=self.fpn_out_channels,
+            top_block_p6=False, top_block="p6p7", dtype=self.dtype,
+        )
         self.head = RetinaNetHead(
             num_classes=self.num_classes,
             num_anchors=len(self.anchor_sizes[0]) * len(self.aspect_ratios),
+            conv_dims=tuple(self.head_conv_dims) if self.head_conv_dims
+            else (self.fpn_out_channels,) * 4,
             dtype=self.dtype,
         )
         self.box2box = Box2BoxTransform((1.0, 1.0, 1.0, 1.0))
-        self.matcher = Matcher([0.4, 0.5], [0, -1, 1], allow_low_quality_matches=True)
+        self.matcher = Matcher(
+            list(self.iou_thresholds), list(self.iou_labels),
+            allow_low_quality_matches=True,
+        )
+        # EMA foreground-count loss normalizer (reference retinanet.py:154)
+        self._loss_normalizer = self.variable(
+            "batch_stats", "loss_normalizer",
+            lambda: jnp.asarray(100.0, jnp.float32),
+        )
 
     def _features(self, images: jnp.ndarray):
         mean = jnp.asarray(self.pixel_mean, jnp.float32)
         std = jnp.asarray(self.pixel_std, jnp.float32)
         x = ((images - mean) / std).astype(self.dtype)
         feats = self.fpn(self.backbone(x))
-        # p6 from FPN top block; p7 = relu+stride-2 conv is approximated by a
-        # second maxpool level for static parity
-        levels = []
-        keys = sorted(feats.keys())
-        for k in keys:
-            levels.append(feats[k])
-        while len(levels) < len(self.strides):
-            levels.append(nn.max_pool(levels[-1], (1, 1), strides=(2, 2)))
-        return levels[: len(self.strides)]
+        # p3, p4, p5 from the pyramid + the learned p6/p7 top block — five
+        # levels at strides 8..128 (reference retinanet.py in_features)
+        levels = [feats[k] for k in sorted(feats.keys())]
+        assert len(levels) == len(self.strides)
+        return levels
 
     def _anchors(self, shapes):
         out = []
@@ -141,7 +170,13 @@ class RetinaNet(nn.Module):
             return cls_loss, reg, jnp.sum(fg)
 
         cls, reg, nfg = jax.vmap(per_image)(logits, deltas, batch.gt_boxes, batch.gt_classes, batch.gt_valid)
-        norm = jnp.maximum(jnp.sum(nfg), 1.0)
+        # EMA loss normalizer (reference retinanet.py:316-318): updated with
+        # max(num_pos_anchors, 1) THEN used to divide this step's losses
+        ema = self._loss_normalizer
+        m = self.loss_normalizer_momentum
+        norm = m * ema.value + (1.0 - m) * jnp.maximum(jnp.sum(nfg).astype(jnp.float32), 1.0)
+        if self.is_mutable_collection("batch_stats"):
+            ema.value = norm
         return {"loss_cls": jnp.sum(cls) / norm, "loss_box_reg": jnp.sum(reg) / norm}
 
     def inference(self, batch: DetBatch) -> DetectionResult:
@@ -165,16 +200,21 @@ class RetinaNet(nn.Module):
             delta = delta_map.reshape(b, -1, 4).astype(jnp.float32)
             k = min(self.topk_candidates, logit.shape[1] * self.num_classes)
 
-            def per_image(lg, dl, hw, anchors=anchors, k=k):
+            def per_image(lg, dl, anchors=anchors, k=k):
                 probs = jax.nn.sigmoid(lg).reshape(-1)
+                # topk-then-threshold == the reference's threshold-then-topk
+                # (inference_single_image:453-462): sub-threshold entries are
+                # at the bottom of any top-k, so zeroing them after selection
+                # keeps the identical candidate set
                 top_p, top_i = jax.lax.top_k(probs, k)
                 a_idx = top_i // self.num_classes
                 cls = (top_i % self.num_classes).astype(jnp.int32)
+                # NO clipping here — the reference NMSes the raw decoded
+                # boxes and clips only in detector_postprocess
                 boxes = self.box2box.apply_deltas(dl[a_idx], anchors[a_idx])
-                boxes = box_ops.clip(boxes, (hw[0], hw[1]))
                 return boxes, jnp.where(top_p > self.score_thresh, top_p, 0.0), cls
 
-            bx, sc, cl = jax.vmap(per_image)(logit, delta, batch.image_sizes)
+            bx, sc, cl = jax.vmap(per_image)(logit, delta)
             cand_b.append(bx)
             cand_s.append(sc)
             cand_c.append(cl)

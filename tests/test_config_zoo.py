@@ -129,7 +129,9 @@ def test_panoptic_dconv_cascade_gn_config():
     assert not m.stride_in_1x1
 
     tiny = m.clone(depth=10, backbone_width=8, sem_seg_classes=6, num_classes=4)
-    b = _batch(4)
+    # Base-Panoptic-FPN sets MASK_ON — the cascade heads train the mask
+    # branch, so the batch must carry gt_masks
+    b = _batch(4, with_masks=True)
     r = np.random.RandomState(0)
     sem_gt = jnp.asarray(r.randint(0, 6, (2, 64, 96)), jnp.int32)
     rng = jax.random.PRNGKey(0)
