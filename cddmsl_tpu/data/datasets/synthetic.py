@@ -283,3 +283,49 @@ def register_synthetic_coco(
                 keypoint_flip_map=(),
                 keypoint_oks_sigmas=(0.05, 0.05, 0.05),
             )
+
+
+def make_synthetic_proposals(root: str, seed: int = 1) -> str:
+    """Write a d2-schema precomputed-proposal pickle for the COCO fixture
+    (reference tools' proposal files consumed by build.py
+    load_proposals_into_dataset): per image, the GT boxes (high objectness),
+    jittered copies, and random background boxes (low objectness). Feeds the
+    fast_rcnn quick schedule the way the reference's
+    fast_rcnn_R_50_FPN_instant_test.yaml feeds coco_2017_val_100 proposals.
+    Returns the pickle path."""
+    import json
+    import pickle
+
+    json_path = os.path.join(root, "coco_synth", "instances.json")
+    with open(json_path) as f:
+        coco = json.load(f)
+    rng = np.random.RandomState(seed)
+    h, w = _FIXTURE_HW
+    by_img = {}
+    for a in coco["annotations"]:
+        x1, y1, bw, bh = a["bbox"]
+        by_img.setdefault(a["image_id"], []).append([x1, y1, x1 + bw, y1 + bh])
+    ids, boxes, logits = [], [], []
+    for im in coco["images"]:
+        gt = np.asarray(by_img.get(im["id"], []), np.float64).reshape(-1, 4)
+        props, scores = [], []
+        for g in gt:
+            props.append(g)
+            scores.append(8.0 + rng.rand())
+            for _ in range(3):  # jittered near-duplicates
+                jit = g + rng.randn(4) * 3.0
+                props.append(jit)
+                scores.append(2.0 + rng.rand())
+        for _ in range(8):  # background distractors
+            x1 = rng.uniform(0, w - 20)
+            y1 = rng.uniform(0, h - 20)
+            props.append([x1, y1, x1 + rng.uniform(10, 40), y1 + rng.uniform(10, 30)])
+            scores.append(-2.0 + rng.rand())
+        b = np.clip(np.asarray(props, np.float32), 0, [w, h, w, h])
+        ids.append(im["id"])
+        boxes.append(b)
+        logits.append(np.asarray(scores, np.float32))
+    out = os.path.join(root, "coco_synth", "proposals.pkl")
+    with open(out, "wb") as f:
+        pickle.dump({"ids": ids, "boxes": boxes, "objectness_logits": logits}, f)
+    return out

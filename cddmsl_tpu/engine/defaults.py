@@ -100,6 +100,21 @@ def _init_batch(cfg) -> DetBatch:
             if cfg.MODEL.KEYPOINT_ON
             else None
         ),
+        proposal_boxes=(
+            jnp.asarray([[[8, 8, 64, 64]] * cfg.DATASETS.PRECOMPUTED_PROPOSAL_TOPK_TRAIN], jnp.float32)
+            if cfg.MODEL.LOAD_PROPOSALS
+            else None
+        ),
+        proposal_scores=(
+            jnp.zeros((b, cfg.DATASETS.PRECOMPUTED_PROPOSAL_TOPK_TRAIN), jnp.float32)
+            if cfg.MODEL.LOAD_PROPOSALS
+            else None
+        ),
+        proposal_valid=(
+            jnp.ones((b, cfg.DATASETS.PRECOMPUTED_PROPOSAL_TOPK_TRAIN), bool)
+            if cfg.MODEL.LOAD_PROPOSALS
+            else None
+        ),
     )
 
 

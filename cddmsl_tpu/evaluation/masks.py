@@ -21,8 +21,10 @@ def paste_masks_np(
     threshold: float = 0.5,
 ) -> np.ndarray:
     """Numpy mirror of models/mask_head.py paste_masks_in_image (reference
-    layers/mask_ops.py paste_masks_in_image): inverse bilinear sampling of
-    the box-space mask at every image pixel inside the box."""
+    layers/mask_ops.py _do_paste_mask): inverse bilinear sampling with exact
+    grid_sample(align_corners=False, padding_mode='zeros') semantics —
+    unclamped sample coordinates (out-of-range taps contribute zero) and
+    `>= threshold` binarization (mask_ops.py:137)."""
     H, W = int(image_hw[0]), int(image_hw[1])
     n, m, _ = masks.shape
     out = np.zeros((n, H, W), bool)
@@ -48,32 +50,28 @@ def paste_masks_np(
         return buf.view(bool)
     ys_img = np.arange(H) + 0.5
     xs_img = np.arange(W) + 0.5
+
+    def _taps(s):
+        i0 = np.floor(s).astype(np.int64)
+        f = s - i0
+        w0 = (1 - f) * ((i0 >= 0) & (i0 <= m - 1))
+        w1 = f * ((i0 + 1 >= 0) & (i0 + 1 <= m - 1))
+        return np.clip(i0, 0, m - 1), w0, np.clip(i0 + 1, 0, m - 1), w1
+
     for i in range(n):
         x1, y1, x2, y2 = boxes[i]
         w = max(x2 - x1, 1e-3)
         h = max(y2 - y1, 1e-3)
-        ys = (ys_img - y1) / h * m - 0.5
-        xs = (xs_img - x1) / w * m - 0.5
-        yy = np.clip(ys, 0, m - 1)
-        xx = np.clip(xs, 0, m - 1)
-        y0 = np.floor(yy).astype(np.int64)
-        x0 = np.floor(xx).astype(np.int64)
-        y1i = np.minimum(y0 + 1, m - 1)
-        x1i = np.minimum(x0 + 1, m - 1)
-        ly = (yy - y0)[:, None]
-        lx = (xx - x0)[None, :]
+        r0, wy0, r1, wy1 = _taps((ys_img - y1) / h * m - 0.5)
+        c0, wx0, c1, wx1 = _taps((xs_img - x1) / w * m - 0.5)
         mk = masks[i]
         v = (
-            mk[y0][:, x0] * (1 - ly) * (1 - lx)
-            + mk[y0][:, x1i] * (1 - ly) * lx
-            + mk[y1i][:, x0] * ly * (1 - lx)
-            + mk[y1i][:, x1i] * ly * lx
+            mk[r0][:, c0] * wy0[:, None] * wx0[None, :]
+            + mk[r0][:, c1] * wy0[:, None] * wx1[None, :]
+            + mk[r1][:, c0] * wy1[:, None] * wx0[None, :]
+            + mk[r1][:, c1] * wy1[:, None] * wx1[None, :]
         )
-        inside = (
-            (ys_img[:, None] >= y1) & (ys_img[:, None] <= y2)
-            & (xs_img[None, :] >= x1) & (xs_img[None, :] <= x2)
-        )
-        out[i] = (v > threshold) & inside
+        out[i] = v >= threshold
     return out
 
 

@@ -15,6 +15,22 @@ from .rcnn import DetBatch
 from .rpn import RPN, Proposals
 
 
+def _proposals_as_detections(proposals: Proposals):
+    """Proposals -> class-0 DetectionResult ordered by objectness (the
+    reference ProposalNetwork emits 'proposals' Instances with
+    objectness_logits, rcnn.py:788-936; the trainer/eval protocol consumes
+    DetectionResult, so proposals ride as class-agnostic detections with
+    sigmoid(objectness) scores)."""
+    from .fast_rcnn import DetectionResult
+
+    return DetectionResult(
+        boxes=proposals.boxes,
+        scores=jax.nn.sigmoid(proposals.scores) * proposals.valid,
+        classes=jnp.zeros(proposals.scores.shape, jnp.int32),
+        valid=proposals.valid,
+    )
+
+
 class ProposalNetwork(nn.Module):
     """Backbone + RPN only — emits proposals as 'detections'
     (reference meta_arch/rcnn.py:788-936)."""
@@ -41,12 +57,21 @@ class ProposalNetwork(nn.Module):
         )
         return losses
 
-    def inference(self, batch: DetBatch) -> Proposals:
+    def inference(self, batch: DetBatch):
         f = self.backbone(self._norm(batch.image))["res4"]
         proposals, _ = self.proposal_generator(f, batch.image_sizes, training=False)
-        return proposals
+        return _proposals_as_detections(proposals)
 
     def __call__(self, batch: DetBatch, rng: jax.Array):
+        return self.losses(batch, rng)
+
+    # ---- trainer protocol (engine/defaults.py DefaultTrainer) ----
+    def init_all(self, batch: DetBatch, rng: jax.Array):
+        return self.losses(batch, rng)
+
+    def cddmsl_losses(self, batch: DetBatch, rng: jax.Array, caption_on=None,
+                      kd_regularization: bool = True, enable_caption: bool = True):
+        del caption_on, kd_regularization, enable_caption
         return self.losses(batch, rng)
 
 
@@ -103,13 +128,22 @@ class FPNProposalNetwork(nn.Module):
         )
         return losses
 
-    def inference(self, batch: DetBatch) -> Proposals:
+    def inference(self, batch: DetBatch):
         proposals, _ = self.proposal_generator(
             self._levels(batch.image), batch.image_sizes, training=False
         )
-        return proposals
+        return _proposals_as_detections(proposals)
 
     def __call__(self, batch: DetBatch, rng: jax.Array):
+        return self.losses(batch, rng)
+
+    # ---- trainer protocol (engine/defaults.py DefaultTrainer) ----
+    def init_all(self, batch: DetBatch, rng: jax.Array):
+        return self.losses(batch, rng)
+
+    def cddmsl_losses(self, batch: DetBatch, rng: jax.Array, caption_on=None,
+                      kd_regularization: bool = True, enable_caption: bool = True):
+        del caption_on, kd_regularization, enable_caption
         return self.losses(batch, rng)
 
 

@@ -8,12 +8,13 @@ Re-implements the reference keypoint stack:
     _keypoints_to_heatmap, Heckbert pixel-center convention, boundary coords
     clamp into the last bin)
   * heatmap -> keypoint decode (structures/keypoints.py:155-230
-    heatmaps_to_keypoints). DOCUMENTED DEVIATION: the reference bicubically
-    upsamples each ROI heatmap to its (ceil(h), ceil(w)) pixel size — a
-    dynamic shape per ROI. Here the decode argmaxes the STATIC heatmap and
-    maps bin centers back to image coords: localization granularity is
-    box_size/heatmap_size instead of 1px. For 56x56 heatmaps on typical
-    person boxes that is <2px — below the OKS sigma scale.
+    heatmaps_to_keypoints). The reference bicubically upsamples each ROI
+    heatmap to its (ceil(h), ceil(w)) pixel size — a dynamic shape per ROI.
+    Here the decode argmaxes the STATIC heatmap, then refines with the same
+    Keys a=-0.75 bicubic interpolant evaluated on a static sub-bin lattice
+    (decode_keypoint_heatmaps): granularity 3*box/(56*24) ~ box/448 —
+    subpixel for boxes under ~450px, vs the reference's fixed 1px. Torch-
+    oracle parity: tests/test_keypoint_decode_parity.py.
   * CE loss over visible keypoints normalized by the visible count
     (keypoint_head.py keypoint_rcnn_loss with
     NORMALIZE_LOSS_BY_VISIBLE_KEYPOINTS=True semantics)
@@ -131,22 +132,80 @@ class KeypointROIHeads(nn.Module):
         return decode_keypoint_heatmaps(heat, boxes)
 
 
-def decode_keypoint_heatmaps(heat: jnp.ndarray, boxes: jnp.ndarray) -> jnp.ndarray:
+def _refine_matrix(size: int, grid: int, span: float = 1.5):
+    """(grid, 2*ceil(span)+4) matrix A evaluating the 1-D bicubic interpolant
+    at `grid` static offsets in (-span, span) bins around the argmax bin:
+    interp(argmax + off[g]) = sum_t A[g, t] * heat[argmax - R + t], with
+    R = ceil(span) + 1 taps of left padding. Pure constants — folded by XLA."""
+    import numpy as _np
+
+    def cubic(d, a=-0.75):
+        # Keys cubic-convolution kernel, a=-0.75 (torch
+        # F.interpolate(mode='bicubic')'s kernel); numpy so the matrix is a
+        # compile-time constant (jnp here would leak tracers under jit)
+        d = _np.abs(d)
+        return _np.where(
+            d <= 1.0,
+            ((a + 2.0) * d - (a + 3.0)) * d * d + 1.0,
+            ((a * d - 5.0 * a) * d + 8.0 * a) * d - 4.0 * a,
+        )
+
+    offs = (_np.arange(grid) + 0.5) / grid * (2 * span) - span  # (-span, span)
+    r = int(_np.ceil(span)) + 1
+    width = 2 * r + 2
+    A = _np.zeros((grid, width), _np.float64)
+    for g, off in enumerate(offs):
+        base = int(_np.floor(off))
+        frac = off - base
+        for t, tap in enumerate(range(-1, 3)):
+            A[g, base + tap + r] += cubic(frac - tap)
+    return A.astype(_np.float32), offs.astype(_np.float32), r
+
+
+def decode_keypoint_heatmaps(
+    heat: jnp.ndarray, boxes: jnp.ndarray, refine_grid: int = 24
+) -> jnp.ndarray:
     """(B*D, S2, S2, K) heatmaps + (B, D, 4) boxes -> (B, D, K, 3) decoded
-    (x, y, score): static-shape argmax decode mapping bin centers back to
-    image coords (reference structures/keypoints.py heatmaps_to_keypoints;
-    granularity deviation documented in the module docstring)."""
+    (x, y, score).
+
+    Matches reference structures/keypoints.py heatmaps_to_keypoints (bicubic
+    upsample to the box's pixel grid, global argmax, Heckbert +0.5 mapping)
+    with static shapes: coarse argmax on the raw map, then a bicubic
+    sub-bin refinement — the Keys a=-0.75 interpolant (torch's bicubic) is
+    evaluated on a static refine_grid x refine_grid lattice spanning
+    argmax +- 1.5 bins and re-argmaxed. Localization granularity is
+    3*box/(S*refine_grid) (~box/448 at S=56, grid=24) vs the reference's
+    1px; the continuous mapping x = (s + 0.5) * w / S + x1 is the exact
+    limit of the reference's (x_int + 0.5) * (w / w_ceil) + x1.
+    Parity: tests/test_keypoint_decode_parity.py."""
     b, d = boxes.shape[:2]
     n, size, _, k = heat.shape
     flat = heat.reshape(n, size * size, k)
     idx = jnp.argmax(flat, axis=1)  # (N, K)
     score = jax.nn.softmax(flat, axis=1)
     score = jnp.take_along_axis(score, idx[:, None, :], axis=1)[:, 0, :]
-    ky, kx = idx // size, idx % size
-    bx = boxes.reshape(n, 4)
-    x1, y1 = bx[:, 0:1], bx[:, 1:2]
-    w = jnp.maximum(bx[:, 2:3] - x1, 1e-4)
-    h = jnp.maximum(bx[:, 3:4] - y1, 1e-4)
-    px = x1 + (kx + 0.5) * w / size
-    py = y1 + (ky + 0.5) * h / size
+    ky, kx = idx // size, idx % size  # (N, K) coarse bins
+
+    A, offs, r = _refine_matrix(size, refine_grid)
+    A = jnp.asarray(A)  # (G, T)
+    taps = jnp.arange(A.shape[1]) - r  # (T,) static offsets around the bin
+
+    hkc = jnp.moveaxis(heat, -1, 1)  # (N, K, S, S)
+
+    def one(hm, by, bx):  # hm (S, S); scalars
+        ry = jnp.clip(by + taps, 0, size - 1)
+        rx = jnp.clip(bx + taps, 0, size - 1)
+        patch = hm[ry][:, rx]  # (T, T) edge-clamped (torch replicates edges)
+        vals = A @ patch @ A.T  # (G, G) interpolated surface
+        g = jnp.argmax(vals)
+        gy, gx = g // refine_grid, g % refine_grid
+        return by + jnp.asarray(offs)[gy], bx + jnp.asarray(offs)[gx]
+
+    sy, sx = jax.vmap(jax.vmap(one))(hkc, ky, kx)  # (N, K) refined coords
+    bx_ = boxes.reshape(n, 4)
+    x1, y1 = bx_[:, 0:1], bx_[:, 1:2]
+    w = jnp.maximum(bx_[:, 2:3] - x1, 1e-4)
+    h = jnp.maximum(bx_[:, 3:4] - y1, 1e-4)
+    px = x1 + (sx + 0.5) * w / size
+    py = y1 + (sy + 0.5) * h / size
     return jnp.stack([px, py, score], axis=-1).reshape(b, d, k, 3)

@@ -128,7 +128,14 @@ def paste_masks_in_image(
     threshold: float = 0.5,
 ) -> jnp.ndarray:
     """Paste box-space masks into image space (reference layers/mask_ops.py
-    paste_masks_in_image) via inverse bilinear sampling — static shapes."""
+    _do_paste_mask) via inverse bilinear sampling — static shapes.
+
+    Exact grid_sample(align_corners=False, padding_mode='zeros') semantics:
+    sample coordinates are NOT clamped — out-of-range taps contribute zero,
+    so values fade to 0 across the half-source-pixel band at the box edge
+    instead of clamping to the edge value; binarization is `>= threshold`
+    (mask_ops.py:137). Verified against the torch oracle in
+    tests/test_mask_paste_parity.py."""
     H, W = image_hw
     n, m, _ = masks.shape
 
@@ -138,22 +145,25 @@ def paste_masks_in_image(
         h = jnp.maximum(y2 - y1, 1e-3)
         ys = (jnp.arange(H) + 0.5 - y1) / h * m - 0.5
         xs = (jnp.arange(W) + 0.5 - x1) / w * m - 0.5
-        yy = jnp.clip(ys, 0, m - 1)
-        xx = jnp.clip(xs, 0, m - 1)
-        y0 = jnp.floor(yy).astype(jnp.int32)
-        x0 = jnp.floor(xx).astype(jnp.int32)
-        y1i = jnp.minimum(y0 + 1, m - 1)
-        x1i = jnp.minimum(x0 + 1, m - 1)
-        ly = (yy - y0)[:, None]
-        lx = (xx - x0)[None, :]
+        y0 = jnp.floor(ys).astype(jnp.int32)
+        x0 = jnp.floor(xs).astype(jnp.int32)
+        ly = ys - y0
+        lx = xs - x0
+
+        def taps(i0, frac):
+            # (index, weight) pairs with zero weight outside [0, m-1]
+            w0 = (1 - frac) * ((i0 >= 0) & (i0 <= m - 1))
+            w1 = frac * ((i0 + 1 >= 0) & (i0 + 1 <= m - 1))
+            return (jnp.clip(i0, 0, m - 1), w0), (jnp.clip(i0 + 1, 0, m - 1), w1)
+
+        (r0, wy0), (r1, wy1) = taps(y0, ly)
+        (c0, wx0), (c1, wx1) = taps(x0, lx)
         v = (
-            mask[y0][:, x0] * (1 - ly) * (1 - lx)
-            + mask[y0][:, x1i] * (1 - ly) * lx
-            + mask[y1i][:, x0] * ly * (1 - lx)
-            + mask[y1i][:, x1i] * ly * lx
+            mask[r0][:, c0] * wy0[:, None] * wx0[None, :]
+            + mask[r0][:, c1] * wy0[:, None] * wx1[None, :]
+            + mask[r1][:, c0] * wy1[:, None] * wx0[None, :]
+            + mask[r1][:, c1] * wy1[:, None] * wx1[None, :]
         )
-        inside = ((jnp.arange(H)[:, None] + 0.5 >= y1) & (jnp.arange(H)[:, None] + 0.5 <= y2)
-                  & (jnp.arange(W)[None, :] + 0.5 >= x1) & (jnp.arange(W)[None, :] + 0.5 <= x2))
-        return (v > threshold) & inside
+        return v >= threshold
 
     return jax.vmap(one)(masks, boxes)

@@ -60,6 +60,16 @@ def run_one(config_file: str, fixture_root: str) -> bool:
     add_ateacher_config(cfg)
     cfg.merge_from_file(config_file)
     cfg.OUTPUT_DIR = os.path.join(fixture_root, "out", os.path.basename(config_file))
+    if cfg.MODEL.LOAD_PROPOSALS:
+        # "fixture://proposals" sentinel -> the generated d2-schema pickle
+        from cddmsl_tpu.data.datasets.synthetic import make_synthetic_proposals
+
+        pf = make_synthetic_proposals(fixture_root)
+        for key in ("PROPOSAL_FILES_TRAIN", "PROPOSAL_FILES_TEST"):
+            setattr(cfg.DATASETS, key, tuple(
+                pf if p == "fixture://proposals" else p
+                for p in getattr(cfg.DATASETS, key)
+            ))
     if cfg.MODEL.WEIGHTS.startswith("quick_schedules://"):
         # sentinel: a checkpoint produced by an earlier quick_schedules run
         # this invocation (the reference's inference_acc tests load model-zoo
