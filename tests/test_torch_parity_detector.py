@@ -212,16 +212,27 @@ def np_matcher(iou, thresholds, labels, allow_low_quality):
 
 # ---------------- torch oracle detector ----------------
 class RefDetector:
-    """Reference-faithful eval+train pipeline over the tiny towers."""
+    """Reference-faithful eval+train pipeline over the torch towers.
 
-    def __init__(self, seed=7):
+    Defaults are the tiny spec; test_torch_parity_fullscale.py instantiates
+    the real flagship (RN50 (3,4,6,3)/width 64/embed 1024 at 800x1344 —
+    r3 VERDICT next-round #2)."""
+
+    def __init__(self, seed=7, layers=(1, 1, 1, 1), width=None, embed=None, img_hw=None,
+                 rpn_batch=None):
+        width = WIDTH if width is None else width
+        embed = EMBED if embed is None else embed
+        self.num_classes = NUM_CLASSES
+        self.img_hw = (IMG, IMG) if img_hw is None else tuple(img_hw)
+        self.rpn_batch = RPN_BATCH if rpn_batch is None else rpn_batch
         g = np.random.RandomState(seed)
         torch.manual_seed(seed)
         self.backbone = _TorchModifiedResNet(
-            layers=(1, 1, 1, 1), output_dim=EMBED, heads=8, width=WIDTH, input_resolution=224
+            layers=layers, output_dim=embed, heads=width * 32 // 64, width=width,
+            input_resolution=224,
         )
         _randomize_bn(self.backbone, g)
-        c4 = WIDTH * 16
+        c4 = width * 16
         self.rpn_conv = nn.Conv2d(c4, c4, 3, padding=1)
         self.rpn_obj = nn.Conv2d(c4, A, 1)
         self.rpn_delta = nn.Conv2d(c4, A * 4, 1)
@@ -229,8 +240,8 @@ class RefDetector:
         with torch.no_grad():
             self.rpn_obj.weight.mul_(4.0)
             self.rpn_delta.weight.mul_(0.5)
-        self.text_emb = g.randn(NUM_CLASSES, EMBED).astype(np.float32)
-        self.bbox_w = (g.randn(NUM_CLASSES * 4, EMBED) * 0.01).astype(np.float32)
+        self.text_emb = g.randn(NUM_CLASSES, embed).astype(np.float32)
+        self.bbox_w = (g.randn(NUM_CLASSES * 4, embed) * 0.01).astype(np.float32)
         self.bbox_b = (g.randn(NUM_CLASSES * 4) * 0.02).astype(np.float32)
         for m in (self.backbone, self.rpn_conv, self.rpn_obj, self.rpn_delta):
             m.eval()
@@ -283,7 +294,8 @@ class RefDetector:
         order = np.argsort(-logits, kind="stable")[:pre]
         scores = logits[order]
         boxes = np_apply_deltas(deltas[order], anchors[order], (1.0, 1.0, 1.0, 1.0))
-        boxes = np.clip(boxes, [0, 0, 0, 0], [IMG, IMG, IMG, IMG]).astype(np.float32)
+        ih, iw = self.img_hw
+        boxes = np.clip(boxes, [0, 0, 0, 0], [iw, ih, iw, ih]).astype(np.float32)
         keep = (boxes[:, 2] > boxes[:, 0]) & (boxes[:, 3] > boxes[:, 1])
         boxes, scores = boxes[keep], scores[keep]
         kept = np_greedy_nms_sorted(boxes, scores, RPN_NMS)[:post]
@@ -309,12 +321,13 @@ class RefDetector:
     def fast_rcnn_inference(self, scores, deltas, proposal_boxes):
         """reference fast_rcnn.py:130-227 (single image)."""
         probs = torch.softmax(torch.from_numpy(scores), dim=-1).numpy()[:, :-1]  # (R, K)
+        ih, iw = self.img_hw
         boxes = np.stack(
             [
                 np.clip(
                     np_apply_deltas(deltas[:, 4 * k : 4 * k + 4], proposal_boxes),
                     [0, 0, 0, 0],
-                    [IMG, IMG, IMG, IMG],
+                    [iw, ih, iw, ih],
                 )
                 for k in range(NUM_CLASSES)
             ],
@@ -390,7 +403,7 @@ class RefDetector:
             roi_reg_sum += np.abs(fg_deltas - gt_d).sum()
             roi_count += len(classes)
 
-        norm = RPN_BATCH * B
+        norm = self.rpn_batch * B
         return {
             "loss_rpn_cls": rpn_cls / norm,
             "loss_rpn_loc": rpn_loc / norm,
@@ -400,15 +413,16 @@ class RefDetector:
 
 
 # ---------------- JAX side ----------------
-def _jax_model(training=False):
+def _jax_model(training=False, layers=(1, 1, 1, 1), width=WIDTH, embed=EMBED,
+               rpn_batch=RPN_BATCH):
     return GeneralizedRCNN(
-        backbone_layers=(1, 1, 1, 1),
-        backbone_width=WIDTH,
-        embed_dim=EMBED,
+        backbone_layers=tuple(layers),
+        backbone_width=width,
+        embed_dim=embed,
         input_resolution=224,
         anchor_sizes=ANCHOR_SIZES,
         anchor_aspect_ratios=ASPECTS,
-        rpn_batch_size_per_image=RPN_BATCH,
+        rpn_batch_size_per_image=rpn_batch,
         rpn_positive_fraction=0.5,
         rpn_pre_nms_topk=PRE_NMS,
         rpn_post_nms_topk=POST_NMS,
@@ -449,15 +463,21 @@ def oracle_and_params(tmp_path_factory):
     return ref, model, params
 
 
-def _batch(with_gt=False):
+def _batch(with_gt=False, img_hw=None, B=2, gt_spec=None):
     r = np.random.RandomState(3)
-    B = 2
-    imgs = (r.rand(B, IMG, IMG, 3) * 255).astype(np.float32)
+    ih, iw = (IMG, IMG) if img_hw is None else tuple(img_hw)
+    imgs = (r.rand(B, ih, iw, 3) * 255).astype(np.float32)
     G = 8
     gtb = np.zeros((B, G, 4), np.float32)
     gtv = np.zeros((B, G), bool)
     gtc = np.zeros((B, G), np.int32)
-    if with_gt:
+    if with_gt and gt_spec is not None:
+        for b, (boxes, classes) in enumerate(gt_spec):
+            n = len(boxes)
+            gtb[b, :n] = boxes
+            gtc[b, :n] = classes
+            gtv[b, :n] = True
+    elif with_gt:
         gtb[0, :3] = [[12, 20, 72, 90], [30, 40, 100, 110], [60, 8, 120, 60]]
         gtc[0, :3] = [0, 3, 5]
         gtv[0, :3] = True
@@ -466,8 +486,8 @@ def _batch(with_gt=False):
         gtv[1, :2] = True
     return DetBatch(
         image=jnp.asarray(imgs),
-        image_sizes=jnp.asarray([[IMG, IMG]] * B, jnp.int32),
-        orig_sizes=jnp.asarray([[IMG, IMG]] * B, jnp.int32),
+        image_sizes=jnp.asarray([[ih, iw]] * B, jnp.int32),
+        orig_sizes=jnp.asarray([[ih, iw]] * B, jnp.int32),
         gt_boxes=jnp.asarray(gtb),
         gt_classes=jnp.asarray(gtc),
         gt_valid=jnp.asarray(gtv),
