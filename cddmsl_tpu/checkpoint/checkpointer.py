@@ -49,15 +49,30 @@ class DetectionCheckpointer:
 
     # ---- native ----
     def save(self, name: str, state: Any) -> str:
+        """Multi-host-safe: EVERY process must enter the orbax save (orbax
+        runs its own cross-process barriers — a rank-0-only call deadlocks
+        on `sync_global_devices('Checkpointer:save_start')`). Orbax then
+        writes host (numpy) leaves from the primary process only, and for a
+        cross-process-SHARDED state (multi-host FSDP) each process writes
+        its own shards — so the tree is fetched to host only when fully
+        addressable/replicated and passed through as live jax.Arrays
+        otherwise. The `last_checkpoint` marker is rank-0's to write."""
+        from ..parallel import multihost
+
         path = os.path.abspath(os.path.join(self.save_dir, name))
-        host_state = jax.device_get(state)
+        distributed = multihost.get_world_size() > 1 and any(
+            isinstance(l, jax.Array) and not l.is_fully_addressable and not l.is_fully_replicated
+            for l in jax.tree_util.tree_leaves(state)
+        )
         if self._async:
             # serialize the previous save fully before starting a new one
             self._ckptr.wait_until_finished()
-        self._ckptr.save(path, host_state, force=True)
-        with open(os.path.join(self.save_dir, _LAST), "w") as f:
-            f.write(name)
-        logger.info("Saved checkpoint to %s%s", path, " (async)" if self._async else "")
+        self._ckptr.save(path, state if distributed else jax.device_get(state), force=True)
+        if multihost.is_main_process():
+            with open(os.path.join(self.save_dir, _LAST), "w") as f:
+                f.write(name)
+            logger.info("Saved checkpoint to %s%s", path, " (async)" if self._async else "")
+        multihost.synchronize()  # no host proceeds (e.g. into restore) mid-write
         if name not in _PROTECTED:
             self._recent.append(name)
             self._gc()
@@ -65,6 +80,14 @@ class DetectionCheckpointer:
 
     def _gc(self):
         if self.max_to_keep <= 0:
+            return
+        from ..parallel import multihost
+
+        if not multihost.is_main_process():
+            # shared save_dir: rank 0 owns deletion (ring state is identical
+            # on every process, so trimming _recent everywhere stays in sync)
+            while len(self._recent) > self.max_to_keep:
+                self._recent.pop(0)
             return
         while len(self._recent) > self.max_to_keep:
             victim = self._recent.pop(0)

@@ -13,8 +13,16 @@ Mirrors the reference build pipeline (detectron2/data/build.py):
 
 TPU deltas: batches are collated into fixed-capacity padded `DetBatch`
 pytrees (images to the bucket size, GT to TPU.MAX_GT_BOXES) and prefetched on
-a background thread; there is no process-per-GPU sharding — one stream feeds
-the mesh.
+a background thread. Process sharding is per HOST, not per GPU: under
+multi-host execution (parallel/multihost.py) every process walks the SAME
+global sampler + bucket stream — all hosts must agree on each step's static
+pad bucket, because they jointly execute ONE SPMD program — but collates
+only its own contiguous row-block of each global batch (`_process_block`).
+The global batch assembled on device is therefore bit-identical to the
+single-host one (the reference's per-rank strided sharding,
+samplers/distributed_sampler.py:12, reorders rows instead). The map cost of
+non-owned rows is paid on every host; acceptable for detection batch sizes
+(<=32 images/step) and kept for bucket-lockstep safety.
 """
 
 import itertools
@@ -44,9 +52,23 @@ def get_detection_dataset_dicts(names: Sequence[str], filter_empty: bool = True)
 
 
 # ---------------- samplers ----------------
+def _process_block(samples: List):
+    """This process's contiguous row-block of a global batch (multi-host).
+    Identity in the (usual) single-process case."""
+    from ..parallel import multihost
+
+    if multihost.get_world_size() == 1:
+        return samples
+    lo, hi = multihost.local_rows(len(samples))
+    return samples[lo:hi]
+
+
 class TrainingSampler:
     """Infinite shuffled index stream (reference distributed_sampler.py:12).
-    No per-rank sharding: the single process feeds the whole mesh."""
+    Deliberately NOT rank-sharded: under multi-host every process walks the
+    same global stream so aspect-ratio buckets stay in lockstep (one static
+    shape per SPMD step); the per-process split happens at collation
+    (`_process_block`)."""
 
     def __init__(self, size: int, shuffle: bool = True, seed: int = 0):
         self.size = size
@@ -356,7 +378,8 @@ def build_detection_train_loader(
             buckets.setdefault(key, []).append(sample)
             if len(buckets[key]) == batch_size:
                 group, buckets[key] = buckets[key], []
-                yield pad_and_collate(group, key, max_gt, with_trgt=True, mask_stride=mask_stride,
+                yield pad_and_collate(_process_block(group), key, max_gt, with_trgt=True,
+                                      mask_stride=mask_stride,
                                       num_keypoints=num_kp, max_proposals=max_props)
 
     return iter(_Prefetcher(gen, depth=cfg.DATALOADER.NUM_WORKERS))
@@ -398,14 +421,17 @@ def build_detection_test_loader(
             groups.setdefault(key, []).append(sample)
             metas.setdefault(key, []).append(d)
             if len(groups[key]) == batch_size:
-                yield pad_and_collate(groups[key], key, max_gt, with_trgt=False, max_proposals=max_props), metas[key]
+                # multi-host: batch rows are this process's block, metas stay
+                # FULL — eval outputs come back replicated across processes
+                # (evaluator.py fetch), so every host scores all rows
+                yield pad_and_collate(_process_block(groups[key]), key, max_gt, with_trgt=False, max_proposals=max_props), metas[key]
                 groups[key], metas[key] = [], []
         for key, group in groups.items():
             if group:
                 meta = metas[key]
                 n = len(group)
                 group = group + [group[-1]] * (batch_size - n)
-                yield pad_and_collate(group, key, max_gt, with_trgt=False, max_proposals=max_props), meta
+                yield pad_and_collate(_process_block(group), key, max_gt, with_trgt=False, max_proposals=max_props), meta
 
     return iter(_Prefetcher(gen, depth=4)), len(dicts)
 
@@ -480,6 +506,7 @@ def build_semisup_train_loader_two_crops(cfg, seed: int = 0):
         while True:
             key_l, ls, lw = take(label_dicts, lab_it, bs_label, lab_buckets)
             key_u, us, uw = take(unlabel_dicts, unl_it, bs_unlabel, unl_buckets)
+            ls, lw, us, uw = map(_process_block, (ls, lw, us, uw))
             yield (
                 (pad_and_collate(ls, key_l, max_gt), pad_and_collate(lw, key_l, max_gt)),
                 (pad_and_collate(us, key_u, max_gt), pad_and_collate(uw, key_u, max_gt)),

@@ -50,20 +50,26 @@ logger = logging.getLogger(__name__)
 
 
 def default_argument_parser():
-    """reference engine/defaults.py:82 (minus the multi-process flags)."""
+    """reference engine/defaults.py:82. `--num-machines/--machine-rank/
+    --dist-url` launch multi-HOST execution (one process per host driving its
+    local chips, jax.distributed under the hood — parallel/multihost.py);
+    `--num-gpus` (process-per-device) has no TPU analogue and is accepted
+    for CLI compat only."""
     parser = argparse.ArgumentParser(description="cddmsl_tpu training")
     parser.add_argument("--config-file", default="", metavar="FILE")
     parser.add_argument("--resume", action="store_true")
     parser.add_argument("--eval-only", action="store_true")
     parser.add_argument("--num-gpus", type=int, default=0, help="accepted for CLI compat; ignored (the mesh uses all devices)")
-    parser.add_argument("--num-machines", type=int, default=1, help="ignored")
-    parser.add_argument("--machine-rank", type=int, default=0, help="ignored")
-    parser.add_argument("--dist-url", default="", help="ignored")
+    parser.add_argument("--num-machines", type=int, default=1, help="number of hosts (processes); >1 wires jax.distributed")
+    parser.add_argument("--machine-rank", type=int, default=0, help="this host's process index")
+    parser.add_argument("--dist-url", default="auto", help="coordinator tcp://host:port ('auto' on TPU pods)")
     parser.add_argument("opts", default=None, nargs=argparse.REMAINDER)
     return parser
 
 
 def default_setup(cfg: CfgNode, args=None):
+    from ..parallel import multihost
+
     output_dir = cfg.OUTPUT_DIR
     os.makedirs(output_dir, exist_ok=True)
     logging.basicConfig(
@@ -71,11 +77,16 @@ def default_setup(cfg: CfgNode, args=None):
     )
     if cfg.SEED >= 0:
         np.random.seed(cfg.SEED)
-    try:
-        cfg.dump_to_file(os.path.join(output_dir, "config.yaml"))
-    except Exception:
-        pass
-    logger.info("devices: %s", jax.devices())
+    if multihost.is_main_process():  # shared OUTPUT_DIR: one writer
+        try:
+            cfg.dump_to_file(os.path.join(output_dir, "config.yaml"))
+        except Exception:
+            pass
+    logger.info(
+        "process %d/%d, %d local / %d global devices",
+        jax.process_index(), jax.process_count(),
+        jax.local_device_count(), jax.device_count(),
+    )
 
 
 def _init_batch(cfg) -> DetBatch:
@@ -175,9 +186,19 @@ def build_evaluator(cfg, dataset_name: str):
 
 
 def launch(main_func, num_gpus_per_machine=0, num_machines=1, machine_rank=0, dist_url=None, args=()):
-    """CLI-compat shim for the reference engine.launch (launch.py:27): there
-    is no process-per-device spawning — one process drives the mesh — so this
-    simply invokes main."""
+    """The reference engine.launch (launch.py:27-125) re-mapped to the JAX
+    execution model. The reference spawns one process per GPU
+    (mp.spawn + init_process_group); on TPU one process per HOST drives all
+    of that host's chips, so there is no intra-host spawning —
+    `num_gpus_per_machine` is accepted for CLI compat and ignored. With
+    `num_machines > 1` this wires `jax.distributed.initialize` (coordinator
+    at `dist_url`, this host at `machine_rank`) before invoking main; every
+    host must call launch() with the same arguments (the pod scheduler's
+    per-host command), after which `jax.devices()` spans the whole pod and
+    the mesh/jit programs in main_func drive it as one SPMD program."""
+    from ..parallel import multihost
+
+    multihost.initialize(num_machines=num_machines, machine_rank=machine_rank, dist_url=dist_url)
     return main_func(*args)
 
 
@@ -255,7 +276,9 @@ class _SyncedPeriodicCheckpointer:
     def after_step(self):
         it = self.trainer.storage.iter
         if self._period and (it + 1) % self._period == 0:
-            self._ckptr.save(f"model_{it:07d}", jax.device_get(self.trainer.state))
+            # pass the live device state: save() fetches to host (or runs the
+            # collective multi-host path) itself
+            self._ckptr.save(f"model_{it:07d}", self.trainer.state)
 
 
 class DefaultTrainer:
@@ -285,6 +308,8 @@ class DefaultTrainer:
         self.state = TrainState.create(params, self.optimizer)
 
         self.lr_schedule = build_lr_schedule(cfg)
+        branch = cfg.MODEL.CONSISTENCY_BRANCH
+        assert branch in ("", "image", "image_region", "caption_pl_img", "caption_pl_region"), branch
         self.train_step = make_train_step(
             self.model,
             self.optimizer,
@@ -293,6 +318,11 @@ class DefaultTrainer:
             caption_burnup_iters=cfg.SOLVER.CAPTION_BURNUP_ITERS,
             lr_schedule=self.lr_schedule,
             accum_steps=cfg.SOLVER.ACCUM_STEPS,
+            consistency_branch=branch if branch in ("image", "image_region") else None,
+            consistency_weight=cfg.MODEL.CONSISTENCY_LOSS_WEIGHT,
+        )
+        self.caption_pl_step = (
+            self._build_caption_pl_step(cfg) if branch.startswith("caption_pl") else None
         )
         # open-set test head (reference fast_rcnn.py:466-475): evaluate with
         # a different (usually larger) class vocabulary whose text embeddings
@@ -319,6 +349,64 @@ class DefaultTrainer:
         self.start_iter = 0
         self.max_iter = cfg.SOLVER.MAX_ITER
         self._data_loader = None
+
+    def _build_caption_pl_step(self, cfg):
+        """MODEL.CONSISTENCY_BRANCH=caption_pl_img|caption_pl_region
+        (reference rcnn.py:556-591): build the frozen ClipCap decoder
+        (mapper + GPT-2, dims from TPU.GPT2_* / V2L_MAPPER_TOKENS; weights
+        from VISION_TO_LANG_PATH / CAPTION_GPT2_PATH when set) and the
+        separate jitted pseudo-label step. Run by train() after each main
+        step — a second optimizer update per iteration, vs the reference's
+        summed single backward (documented deviation: keeps the scan-decode
+        out of the default training graph)."""
+        import jax.numpy as jnp
+
+        from ..models.caption import ClipCaptionModel
+        from ..models.gpt2 import GPT2Config
+        from .train_loop import make_caption_pl_step
+
+        embed = cfg.TPU.EMBED_DIM or {50: 1024, 101: 512}.get(cfg.MODEL.RESNETS.DEPTH, 1024)
+        gcfg = GPT2Config(
+            vocab_size=cfg.TPU.GPT2_VOCAB,
+            n_positions=cfg.TPU.GPT2_POSITIONS,
+            n_embd=cfg.TPU.GPT2_EMBD,
+            n_layer=cfg.TPU.GPT2_LAYERS,
+            n_head=cfg.TPU.GPT2_HEADS,
+        )
+        cap = ClipCaptionModel(
+            prefix_length=cfg.TPU.V2L_MAPPER_TOKENS,
+            clip_length=cfg.TPU.V2L_MAPPER_TOKENS,
+            dim_clip=embed,
+            gpt_config=gcfg,
+        )
+        rng = jax.random.PRNGKey(max(cfg.SEED, 0) + 41)
+        toks = jnp.zeros((1, 4), jnp.int32)
+        pfx = jnp.zeros((1, embed), jnp.float32)
+        if cfg.TPU.FAST_INIT:
+            from ..utils.testing import materialize_params
+
+            cap_params = materialize_params(lambda r: cap.init(r, toks, pfx), rng)
+        else:
+            cap_params = cap.init(rng, toks, pfx)
+        if cfg.MODEL.VISION_TO_LANG_PATH:
+            from ..checkpoint.convert_torch import convert_clipcap_mapper, load_torch_state_dict
+
+            sd = load_torch_state_dict(cfg.MODEL.VISION_TO_LANG_PATH)
+            cap_params["params"]["clip_project"] = convert_clipcap_mapper(sd)
+        if cfg.MODEL.CAPTION_GPT2_PATH:
+            from ..checkpoint.convert_torch import load_torch_state_dict
+            from ..models.gpt2 import convert_hf_gpt2
+
+            sd = load_torch_state_dict(cfg.MODEL.CAPTION_GPT2_PATH)
+            cap_params["params"]["gpt"] = convert_hf_gpt2(sd)["params"]
+        cap_params = jax.tree_util.tree_map(jnp.asarray, cap_params)
+        return make_caption_pl_step(
+            self.model, cap, cap_params, self.optimizer,
+            level="img" if cfg.MODEL.CONSISTENCY_BRANCH.endswith("img") else "region",
+            loss_type=cfg.MODEL.CAPTION_PL_LOSS,
+            max_len=cfg.MODEL.CAPTION_PL_MAX_LEN,
+            loss_weight=cfg.MODEL.CONSISTENCY_LOSS_WEIGHT,
+        )
 
     # ---- weight loading ----
     def resume_or_load(self, resume: bool = True):
@@ -352,12 +440,17 @@ class DefaultTrainer:
     def build_hooks(self):
         from . import hooks as H
 
+        from ..parallel import multihost
+
         cfg = self.cfg
-        writers = [
-            CommonMetricPrinter(self.max_iter),
-            JSONWriter(os.path.join(cfg.OUTPUT_DIR, "metrics.json")),
-            TensorboardXWriter(cfg.OUTPUT_DIR),
-        ]
+        writers = [CommonMetricPrinter(self.max_iter)]
+        if multihost.is_main_process():
+            # shared OUTPUT_DIR under multi-host: only rank 0 writes files
+            # (reference defaults.py build_writers guards the same way)
+            writers += [
+                JSONWriter(os.path.join(cfg.OUTPUT_DIR, "metrics.json")),
+                TensorboardXWriter(cfg.OUTPUT_DIR),
+            ]
         ret = [H.IterationTimer(), H.LRScheduler()]
         if cfg.SOLVER.CHECKPOINT_PERIOD:
             ret.append(_SyncedPeriodicCheckpointer(self.checkpointer, cfg.SOLVER.CHECKPOINT_PERIOD))
@@ -435,6 +528,20 @@ class DefaultTrainer:
 
         self.register_hooks(self.build_hooks())
         log_period = 20
+        from ..parallel import multihost
+
+        # multi-host: absorb per-host setup skew (init/compile happen
+        # independently per process) BEFORE the first collective dispatch —
+        # the CPU-emulation backend's gloo context init gives late ranks
+        # only a 30 s window (parallel/multihost.py synchronize docstring)
+        multihost.synchronize()
+        # On that same backend, gloo cliques are also created lazily DURING
+        # execution: with async dispatch two in-flight steps pipeline and
+        # per-process execution skew on a shared core can exceed the 30 s
+        # window at a new clique's rendezvous. Draining each step before
+        # dispatching the next keeps ranks aligned while cliques form. TPU
+        # collectives have no such window — keep full dispatch-ahead there.
+        drain_each_step = jax.process_count() > 1 and jax.default_backend() == "cpu"
         logger.info("Starting training from iteration %d", self.start_iter)
         with EventStorage(self.start_iter) as storage:
             self.storage = storage
@@ -448,6 +555,15 @@ class DefaultTrainer:
                     batch = shard_batch(next(loader), self.mesh, spatial_axis=spatial)
                     step_rng = jax.random.fold_in(rng, it)
                     state, metrics = self.train_step(state, batch, step_rng)
+                    if self.caption_pl_step is not None:
+                        # MODEL.CONSISTENCY_BRANCH=caption_pl_*: interleaved
+                        # pseudo-label caption update (reference rcnn.py:556-591)
+                        state, pl_metrics = self.caption_pl_step(
+                            state, batch, jax.random.fold_in(step_rng, 1)
+                        )
+                        metrics = {**metrics, **pl_metrics}
+                    if drain_each_step:
+                        jax.block_until_ready(metrics)
                     self.state = state  # hooks see the live (device) state
 
                     # metric ingestion stays inline: it is the jitted loop's
@@ -469,8 +585,8 @@ class DefaultTrainer:
                     storage.step()
             for h in self._hooks:
                 h.after_train()
-        self.state = jax.device_get(state)
-        self.checkpointer.save("model_final", self.state)
+        self.state = state  # checkpointer.save handles host fetch / multi-host layout
+        self.checkpointer.save("model_final", state)
         self.checkpointer.wait_until_finished()  # drain any in-flight async save
         if not cfg.DATASETS.TEST:
             return {}
@@ -528,6 +644,9 @@ class DefaultTrainer:
         eval_step = self.eval_step
         if cfg.TPU.QUANT_EVAL:
             eval_step = self._build_quant_eval_step(cfg, params, eval_bs)
+        from ..parallel import multihost
+
+        multihost.synchronize()  # align hosts before the eval programs dispatch
         results = {}
         for dataset_name in cfg.DATASETS.TEST:
             loader, n = build_detection_test_loader(cfg, dataset_name, batch_size=eval_bs)

@@ -264,7 +264,15 @@ class MeanTeacherTrainer(DefaultTrainer):
             else None
         )
         rng = jax.random.PRNGKey(max(cfg.SEED, 0) + 999)
-        writers = [CommonMetricPrinter(self.max_iter), JSONWriter(os.path.join(cfg.OUTPUT_DIR, "metrics.json"))]
+        from ..parallel import multihost
+
+        writers = [CommonMetricPrinter(self.max_iter)]
+        if multihost.is_main_process():  # shared OUTPUT_DIR: one file writer
+            writers.append(JSONWriter(os.path.join(cfg.OUTPUT_DIR, "metrics.json")))
+        multihost.synchronize()  # absorb per-host setup skew pre-dispatch
+        # see engine/defaults.py train(): gloo-clique creation window on the
+        # CPU-emulation backend requires draining each step
+        drain_each_step = jax.process_count() > 1 and jax.default_backend() == "cpu"
         log_period = 20
         with EventStorage(self.start_iter) as storage:
             t0 = time.time()
@@ -276,6 +284,8 @@ class MeanTeacherTrainer(DefaultTrainer):
                         for b in (ls, lw, us, uw)
                     )
                     state, metrics = self.mt_step(state, ls, lw, us, uw, jax.random.fold_in(rng, it))
+                    if drain_each_step:
+                        jax.block_until_ready(metrics)
                     if (it + 1) % log_period == 0:
                         host = jax.device_get(metrics)
                         if not np.isfinite(float(host["total_loss"])):

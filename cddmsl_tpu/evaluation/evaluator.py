@@ -43,12 +43,17 @@ def inference_on_dataset(
         if place_fn is not None:
             batch = place_fn(batch)
         det = eval_step(params, batch)
-        boxes = np.asarray(det.boxes)
-        scores = np.asarray(det.scores)
-        classes = np.asarray(det.classes)
-        valid = np.asarray(det.valid)
-        masks = np.asarray(det.masks) if det.masks is not None else None
-        det_kps = np.asarray(det.keypoints) if getattr(det, "keypoints", None) is not None else None
+        # multihost.fetch == np.asarray single-process; under multi-host it
+        # replicates the cross-process-sharded output so EVERY host scores
+        # the full batch against the full metas (loaders keep metas global)
+        from ..parallel.multihost import fetch
+
+        boxes = fetch(det.boxes)
+        scores = fetch(det.scores)
+        classes = fetch(det.classes)
+        valid = fetch(det.valid)
+        masks = fetch(det.masks)
+        det_kps = fetch(getattr(det, "keypoints", None))
         total_compute += time.time() - t0
 
         t1 = time.time()

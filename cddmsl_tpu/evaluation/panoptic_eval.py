@@ -278,14 +278,16 @@ def inference_on_dataset_panoptic(
         if place_fn is not None:
             batch = place_fn(batch)
         det, sem_seg = panoptic_infer(params, batch)
-        boxes = np.asarray(det.boxes)
-        scores = np.asarray(det.scores)
-        classes = np.asarray(det.classes)
-        valid = np.asarray(det.valid)
-        masks = np.asarray(det.masks) if det.masks is not None else None
-        sem = np.asarray(sem_seg)
-        sizes = np.asarray(batch.image_sizes)
-        origs = np.asarray(batch.orig_sizes)
+        from ..parallel.multihost import fetch  # np.asarray + multi-host replication
+
+        boxes = fetch(det.boxes)
+        scores = fetch(det.scores)
+        classes = fetch(det.classes)
+        valid = fetch(det.valid)
+        masks = fetch(det.masks)
+        sem = fetch(sem_seg)
+        sizes = fetch(batch.image_sizes)
+        origs = fetch(batch.orig_sizes)
         for i, meta in enumerate(metas):
             h, w = sizes[i]
             oh, ow = origs[i]

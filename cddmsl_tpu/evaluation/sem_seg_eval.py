@@ -25,9 +25,11 @@ def inference_on_dataset_semseg(
     for batch, metas in data_loader:
         if place_fn is not None:
             batch = place_fn(batch)
-        pred = np.asarray(semseg_infer(params, batch))
-        sizes = np.asarray(batch.image_sizes)
-        origs = np.asarray(batch.orig_sizes)
+        from ..parallel.multihost import fetch  # np.asarray + multi-host replication
+
+        pred = fetch(semseg_infer(params, batch))
+        sizes = fetch(batch.image_sizes)
+        origs = fetch(batch.orig_sizes)
         for i, meta in enumerate(metas):
             h, w = sizes[i]
             pred_i = _nearest_resize(pred[i][:h, :w], origs[i])

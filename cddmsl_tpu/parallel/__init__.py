@@ -9,8 +9,10 @@ from .mesh import (
 from .collectives import all_gather_cat, gather_tensors, pmean_dict
 from .fsdp import fsdp_shard, fsdp_shardings
 from .tp import DEFAULT_TP_RULES, param_shardings, rules_from_cfg, shard_params
+from . import multihost
 
 __all__ = [
+    "multihost",
     "DEFAULT_TP_RULES",
     "param_shardings",
     "rules_from_cfg",

@@ -40,6 +40,17 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def _put(x, sharding: NamedSharding):
+    """device_put that also works when `sharding` spans multiple processes
+    (multi-host): each process contributes its local block via
+    `jax.make_array_from_process_local_data` (parallel/multihost.py design
+    note — loaders hand every process the contiguous row-block owned by its
+    devices, so local data IS the process shard)."""
+    if jax.process_count() > 1:
+        return jax.make_array_from_process_local_data(sharding, np.asarray(x))
+    return jax.device_put(x, sharding)
+
+
 def shard_batch(batch, mesh: Mesh, axis: str = "data", spatial_axis: Optional[str] = None):
     """Place a host batch pytree with its leading dim sharded over `axis`.
 
@@ -52,6 +63,10 @@ def shard_batch(batch, mesh: Mesh, axis: str = "data", spatial_axis: Optional[st
     axis). Activations of the heaviest layers (stride 2/4 stages on
     800x1344 inputs) shrink by the axis size per chip; math is unchanged
     (halo exchange keeps convolutions exact).
+
+    Multi-host: the host batch is this process's row-block of the global
+    batch (data/build.py loaders slice it); the global array is assembled
+    across processes by `_put`.
     """
     sharding = batch_sharding(mesh, axis)
     spatial = (
@@ -68,12 +83,16 @@ def shard_batch(batch, mesh: Mesh, axis: str = "data", spatial_axis: Optional[st
             and x.shape[-1] == 3
             and x.shape[1] % sp == 0
         ):
-            return jax.device_put(x, spatial)
-        return jax.device_put(x, sharding)
+            return _put(x, spatial)
+        return _put(x, sharding)
 
     return jax.tree_util.tree_map(place, batch)
 
 
 def replicate(tree, mesh: Mesh):
     sharding = replicated(mesh)
+    if jax.process_count() > 1:
+        # every process supplies the identical full value (P() -> the
+        # process-local block IS the whole array)
+        return jax.tree_util.tree_map(lambda x: _put(x, sharding), tree)
     return jax.device_put(tree, sharding)
