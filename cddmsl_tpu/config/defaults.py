@@ -35,6 +35,19 @@ def get_default_cfg() -> CfgNode:
     _C.MODEL.KD_REGULRAZIATION = False  # (sic) reference key name kept for config compat
     _C.MODEL.PRE_TRAINED_RCLIP_PATH = ""
     _C.MODEL.VISION_TO_LANG_PATH = ""
+    # Alternative consistency branches (reference rcnn.py:471-591 forward()
+    # branch strings, selected ad hoc in the reference code; here a YAML
+    # knob — r3 VERDICT next-round #7). "" = the default caption-consistency
+    # recipe; "image"/"image_region" add the language-free InfoNCE branches
+    # to the train step; "caption_pl_img"/"caption_pl_region" run the
+    # pseudo-label caption step (engine/train_loop.py make_caption_pl_step,
+    # a second jitted update per iteration so the scan-decode never burdens
+    # the default graph).
+    _C.MODEL.CONSISTENCY_BRANCH = ""
+    _C.MODEL.CONSISTENCY_LOSS_WEIGHT = 0.1
+    _C.MODEL.CAPTION_PL_LOSS = "pseudo_label"  # or "kl" (unsupervised_loss)
+    _C.MODEL.CAPTION_PL_MAX_LEN = 20
+    _C.MODEL.CAPTION_GPT2_PATH = ""  # HF GPT-2 state dict for the pl decoder
 
     # ---------------- MODEL.BACKBONE ----------------
     _C.MODEL.BACKBONE = CfgNode()
@@ -402,6 +415,13 @@ def get_default_cfg() -> CfgNode:
     _C.TPU.EMBED_DIM = 0           # CLIP embed dim, e.g. 128
     _C.TPU.V2L_MAPPER_LAYERS = 8   # ClipCap TransformerMapper depth
     _C.TPU.V2L_MAPPER_TOKENS = 40  # ClipCap prefix/clip length
+    # GPT-2 dims for the caption_pl decoder (MODEL.CONSISTENCY_BRANCH =
+    # caption_pl_*): defaults are the real HF gpt2; instant tests shrink them
+    _C.TPU.GPT2_VOCAB = 50257
+    _C.TPU.GPT2_POSITIONS = 1024
+    _C.TPU.GPT2_EMBD = 768
+    _C.TPU.GPT2_LAYERS = 12
+    _C.TPU.GPT2_HEADS = 12
     _C.TPU.FAST_INIT = False       # eval_shape param fill instead of real init
     _C.TPU.MASK_CANVAS_STRIDE = 4  # GT bitmask canvas downsample (MASK_ON)
 

@@ -64,6 +64,8 @@ def make_train_step(
     donate: bool = True,
     state_shardings: Optional[Any] = None,
     accum_steps: int = 1,
+    consistency_branch: Optional[str] = None,
+    consistency_weight: float = 1.0,
 ) -> Callable[[TrainState, DetBatch, jax.Array], Tuple[TrainState, Dict[str, jnp.ndarray]]]:
     """Returns jitted (state, batch, rng) -> (state, metrics).
 
@@ -109,6 +111,22 @@ def make_train_step(
             new_bs = mutated["batch_stats"]
         else:
             losses, new_bs = out, None
+        if consistency_branch in ("image", "image_region"):
+            # language-free InfoNCE branches (MODEL.CONSISTENCY_BRANCH,
+            # reference rcnn.py:471-522), weighted and summed into the same
+            # update — the reference adds them to the iteration's loss dict
+            method = (
+                model.image_consistency
+                if consistency_branch == "image"
+                else model.image_consistency_region
+            )
+            args = (batch,) if consistency_branch == "image" else (batch, jax.random.fold_in(rng, 7))
+            # read-only batch_stats: the supervised forward already updated
+            # them this step (SyncBN models); FrozenBN models have none
+            extra = model.apply(variables, *args, method=method)
+            losses = dict(losses)
+            for k, v in extra.items():
+                losses[f"{consistency_branch}_{k}"] = v * consistency_weight
         total = jnp.sum(jnp.stack([v for v in losses.values()]))
         return total, (losses, new_bs)
 
@@ -246,8 +264,11 @@ def make_caption_pl_step(
         updates, new_opt_state = optimizer.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
         name = "token-pl_loss" if level == "img" else "token-pl-region_loss"
+        # NOT step+1: when interleaved with the main step (DefaultTrainer
+        # with MODEL.CONSISTENCY_BRANCH=caption_pl_*) the iteration counter,
+        # LR schedule and burn-up gating must advance once per iteration
         return (
-            state.replace(step=state.step + 1, params=new_params, opt_state=new_opt_state),
+            state.replace(params=new_params, opt_state=new_opt_state),
             {name: loss},
         )
 
