@@ -79,7 +79,22 @@ class CDDMSLHandler(PathHandler):
             if path.startswith(p):
                 name = path[len(p):]
                 break
-        return os.path.join(_REPO_ROOT, name)
+        else:
+            raise ValueError(
+                f"{path}: not under a supported prefix {self.PREFIXES}"
+            )
+        local = os.path.join(_REPO_ROOT, name)
+        if path.startswith("detectron2://") and not os.path.exists(local):
+            # the reference maps detectron2:// onto its release bucket URL;
+            # with no egress, fall back to the pre-populated HTTP cache by
+            # basename (the same place a bucket download would have landed)
+            cache_dir = os.environ.get(
+                "CDDMSL_CACHE", os.path.expanduser("~/.cache/cddmsl")
+            )
+            cached = os.path.join(cache_dir, os.path.basename(name))
+            if os.path.exists(cached):
+                return cached
+        return local
 
 
 class _PathManager:

@@ -4,17 +4,24 @@ use: instance boxes/labels, instance masks (bitmask or polygon overlay),
 keypoints (+skeleton from metadata), semantic / panoptic segmentation
 overlays, and dataset-dict GT drawing."""
 
-import colorsys
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 from PIL import Image, ImageDraw
 
+from .colormap import colormap as _colormap
+
+_PALETTE = None
+
 
 def _color(i: int) -> Tuple[int, int, int]:
-    h = (i * 0.61803398875) % 1.0
-    r, g, b = colorsys.hsv_to_rgb(h, 0.9, 1.0)
-    return int(r * 255), int(g * 255), int(b * 255)
+    """Category color from the shared palette (utils/colormap.py — one
+    palette for all drawing, r3 ADVICE item 1)."""
+    global _PALETTE
+    if _PALETTE is None:
+        _PALETTE = _colormap(rgb=True, maximum=255).astype(np.int32)
+    r, g, b = _PALETTE[i % len(_PALETTE)]
+    return int(r), int(g), int(b)
 
 
 # COCO-person skeleton (reference builtin_meta.py KEYPOINT_CONNECTION_RULES
