@@ -62,4 +62,8 @@ def main(args):
 
 
 if __name__ == "__main__":
-    main(default_argument_parser().parse_args())
+    from cddmsl_tpu.engine.defaults import launch
+
+    _args = default_argument_parser().parse_args()
+    launch(main, num_machines=_args.num_machines, machine_rank=_args.machine_rank,
+           dist_url=_args.dist_url, args=(_args,))

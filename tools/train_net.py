@@ -5,7 +5,12 @@
       MODEL.CLIP.TEXT_EMB_PATH .../voc_20_cls_emb.pth MODEL.WEIGHTS .../regionclip.pth
   python tools/train_net.py --eval-only --config-file ... MODEL.WEIGHTS ...
 
-One process drives the full TPU mesh (no --num-gpus / launch())."""
+One process per HOST drives that host's chips. Past a single host, run the
+same command on every host with --num-machines M --machine-rank r
+--dist-url tcp://host0:port (or 'auto' on TPU pods) — launch() wires
+jax.distributed and the mesh spans the pod (docs/MIGRATION.md
+"Multi-host (pod scale)"); --num-gpus (process-per-device) has no TPU
+analogue and is accepted for CLI compat only."""
 
 import os
 import sys
@@ -52,5 +57,14 @@ def main(args):
 
 
 if __name__ == "__main__":
+    from cddmsl_tpu.engine.defaults import launch
+
     args = default_argument_parser().parse_args()
-    main(args)
+    launch(
+        main,
+        num_gpus_per_machine=args.num_gpus,
+        num_machines=args.num_machines,
+        machine_rank=args.machine_rank,
+        dist_url=args.dist_url,
+        args=(args,),
+    )
