@@ -41,6 +41,12 @@ def add_ateacher_config(cfg: CfgNode) -> None:
     _C.SEMISUPNET.LOSS_WEIGHT_TYPE = "standard"
     _C.SEMISUPNET.DIS_TYPE = "res4"
     _C.SEMISUPNET.DIS_LOSS_WEIGHT = 0.1
+    # Golden pin on the FINAL teacher's pseudo-labels (the quick-schedules
+    # analogue of TEST.EXPECTED_RESULTS for the EMA/threshold loop):
+    # [count, precision, precision_tol] checked by MeanTeacherTrainer at
+    # end of train() against the first weak unlabeled batch — count exact,
+    # precision (IoU>0.5 same-class vs fixture GT) within tol.
+    _C.SEMISUPNET.EXPECTED_PSEUDO = []
 
     _C.EMAMODEL = CfgNode()
     _C.EMAMODEL.SUP_CONSIST = True

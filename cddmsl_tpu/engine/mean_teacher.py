@@ -317,4 +317,60 @@ class MeanTeacherTrainer(DefaultTrainer):
             cfg, self.mt_state.replace(params=self.mt_state.teacher_params)
         )
         self._verify_final(results)
+        self._verify_pseudo_labels()
         return results
+
+    def pseudo_label_stats(self):
+        """(count, precision) of the FINAL teacher's thresholded
+        pseudo-labels on the first weak unlabeled batch, scored against the
+        batch's own GT (IoU>0.5, same class). The quality signal of the
+        EMA/threshold loop that the AP pin alone can miss."""
+        from ..data import build_semisup_train_loader_two_crops
+
+        loader = build_semisup_train_loader_two_crops(self.cfg, seed=max(self.cfg.SEED, 0))
+        (_, _), (_, unlabel_w) = next(loader)
+        boxes, classes, valid = self._pseudo_label(
+            self.mt_state.teacher_params, unlabel_w
+        )
+        boxes, classes, valid = map(np.asarray, (boxes, classes, valid))
+        gtb = np.asarray(unlabel_w.gt_boxes)
+        gtc = np.asarray(unlabel_w.gt_classes)
+        gtv = np.asarray(unlabel_w.gt_valid)
+        n_pseudo = n_correct = 0
+        for b in range(len(boxes)):
+            pb, pc = boxes[b][valid[b]], classes[b][valid[b]]
+            gb, gc = gtb[b][gtv[b]], gtc[b][gtv[b]]
+            n_pseudo += len(pb)
+            if not len(gb):
+                continue
+            for box, cls in zip(pb, pc):
+                lt = np.maximum(box[:2], gb[:, :2])
+                rb = np.minimum(box[2:], gb[:, 2:])
+                wh = np.clip(rb - lt, 0, None)
+                inter = wh[:, 0] * wh[:, 1]
+                area = (
+                    (box[2] - box[0]) * (box[3] - box[1])
+                    + (gb[:, 2] - gb[:, 0]) * (gb[:, 3] - gb[:, 1])
+                    - inter
+                )
+                iou = inter / np.maximum(area, 1e-9)
+                if np.any((iou > 0.5) & (gc == cls)):
+                    n_correct += 1
+        return n_pseudo, n_correct / max(n_pseudo, 1)
+
+    def _verify_pseudo_labels(self):
+        """SEMISUPNET.EXPECTED_PSEUDO golden (config/ateacher.py): exact
+        pseudo count + precision within tolerance."""
+        expected = list(self.cfg.SEMISUPNET.EXPECTED_PSEUDO)
+        if not expected:
+            return
+        want_count, want_prec, tol = expected
+        count, prec = self.pseudo_label_stats()
+        logger.info(
+            "Pseudo-label golden: count=%d (want %d), precision=%.4f (want %.4f+-%.2f)",
+            count, int(want_count), prec, want_prec, tol,
+        )
+        assert count == int(want_count) and abs(prec - want_prec) <= tol, (
+            f"Pseudo-label verification failed: count={count} (want {int(want_count)}), "
+            f"precision={prec:.4f} (want {want_prec}+-{tol})"
+        )
