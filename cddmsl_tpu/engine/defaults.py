@@ -542,6 +542,20 @@ class DefaultTrainer:
         # dispatching the next keeps ranks aligned while cliques form. TPU
         # collectives have no such window — keep full dispatch-ahead there.
         drain_each_step = jax.process_count() > 1 and jax.default_backend() == "cpu"
+        if drain_each_step:
+            # compile-then-barrier-then-dispatch for the first step: the
+            # per-process COMPILE phase is the largest skew source
+            import itertools
+
+            first = next(loader)
+            warm_batch = shard_batch(first, self.mesh, spatial_axis=spatial)
+            warm_rng = jax.random.fold_in(rng, self.start_iter)
+            multihost.warm_and_align(self.train_step, state, warm_batch, warm_rng)
+            if self.caption_pl_step is not None:
+                multihost.warm_and_align(
+                    self.caption_pl_step, state, warm_batch, jax.random.fold_in(warm_rng, 1)
+                )
+            loader = itertools.chain([first], loader)
         logger.info("Starting training from iteration %d", self.start_iter)
         with EventStorage(self.start_iter) as storage:
             self.storage = storage

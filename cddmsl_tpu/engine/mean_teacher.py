@@ -273,6 +273,17 @@ class MeanTeacherTrainer(DefaultTrainer):
         # see engine/defaults.py train(): gloo-clique creation window on the
         # CPU-emulation backend requires draining each step
         drain_each_step = jax.process_count() > 1 and jax.default_backend() == "cpu"
+        if drain_each_step:
+            # compile-then-barrier-then-dispatch for the first MT step
+            import itertools
+
+            first = next(loader)
+            (fls, flw), (fus, fuw) = first
+            wb = [shard_batch(b, self.mesh, spatial_axis=spatial) for b in (fls, flw, fus, fuw)]
+            multihost.warm_and_align(
+                self.mt_step, state, *wb, jax.random.fold_in(rng, self.start_iter)
+            )
+            loader = itertools.chain([first], loader)
         log_period = 20
         with EventStorage(self.start_iter) as storage:
             t0 = time.time()

@@ -37,11 +37,25 @@ def inference_on_dataset(
     start = time.time()
     seen = 0
     t_data = time.time()
+    warmed = set()  # batch shapes pre-compiled+aligned (multi-process CPU)
     for batch, metas in data_loader:
         total_data += time.time() - t_data
         t0 = time.time()
         if place_fn is not None:
             batch = place_fn(batch)
+        import jax as _jax
+
+        if _jax.process_count() > 1:
+            from ..parallel import multihost
+
+            key = tuple(
+                tuple(x.shape) for x in _jax.tree_util.tree_leaves(batch)
+            )
+            if key not in warmed:
+                warmed.add(key)
+                # compile-then-barrier-then-dispatch per bucket shape
+                # (parallel/multihost.py warm_and_align docstring)
+                multihost.warm_and_align(eval_step, params, batch)
         det = eval_step(params, batch)
         # multihost.fetch == np.asarray single-process; under multi-host it
         # replicates the cross-process-sharded output so EVERY host scores

@@ -114,6 +114,24 @@ def synchronize(timeout_ms: int = 1_200_000) -> None:
         multihost_utils.sync_global_devices("cddmsl_sync")
 
 
+def warm_and_align(jitted_fn, *args) -> None:
+    """Compile-then-barrier-then-dispatch discipline for the CPU-emulation
+    multi-process backend: AOT-compile the program for these args WITHOUT
+    dispatching (jit .lower().compile()), then host-barrier. Gloo creates
+    collective cliques lazily at a program's FIRST execution and gives late
+    arrivals only a hardcoded 30 s window — per-process compile times on a
+    shared core routinely skew beyond that, so the first dispatch must
+    happen after every process has finished compiling. No-op single-process
+    and on real TPU (whose collectives have no such window)."""
+    if jax.process_count() <= 1 or jax.default_backend() != "cpu":
+        return
+    try:
+        jitted_fn.lower(*args).compile()
+    except Exception:  # non-jit wrappers: barrier alone still helps
+        logger.warning("warm_and_align: could not pre-compile %r", jitted_fn)
+    synchronize()
+
+
 def local_rows(n: int, rank: Optional[int] = None, world: Optional[int] = None) -> Tuple[int, int]:
     """This process's contiguous row-block [lo, hi) of an n-row global batch.
 
