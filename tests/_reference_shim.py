@@ -1,0 +1,193 @@
+"""Synthetic `detectron2` package for reference-code-in-the-loop oracles.
+
+Used by tests/test_reference_detops_oracle.py and
+tests/test_reference_fast_rcnn_oracle.py: installs stub parent packages so
+the reference's heavyweight `__init__` chain (fvcore, torchvision, CUDA
+extensions) never executes, then imports the ACTUAL reference leaf modules
+by normal import machinery (relative imports intact). Only trivial leaf
+symbols are shimmed; every shim is listed here in one place so the oracle
+tests can state exactly what is and is not reference code.
+"""
+
+import importlib
+import os
+import sys
+import types
+from dataclasses import dataclass
+
+import torch
+import torch.nn.functional as F
+
+REF = "/root/reference/detectron2"
+
+
+def _fake_module(name, path=None, **attrs):
+    m = types.ModuleType(name)
+    if path is not None:
+        m.__path__ = [path]
+    for k, v in attrs.items():
+        setattr(m, k, v)
+    sys.modules[name] = m
+    return m
+
+
+class _MiniRegistry:
+    """detectron2.utils.registry.Registry — the 15 lines the reference
+    modules actually use."""
+
+    __doc__ = ""
+
+    def __init__(self, name):
+        self._name = name
+        self._map = {}
+
+    def register(self, obj=None):
+        if obj is None:
+            def deco(cls):
+                self._map[cls.__name__] = cls
+                return cls
+
+            return deco
+        self._map[obj.__name__] = obj
+        return obj
+
+    def get(self, name):
+        return self._map[name]
+
+
+def smooth_l1_loss(input, target, beta, reduction="none"):
+    """fvcore.nn.smooth_l1_loss shim (canonical definition; fvcore is not
+    installed here)."""
+    if beta < 1e-5:
+        loss = torch.abs(input - target)
+    else:
+        n = torch.abs(input - target)
+        loss = torch.where(n < beta, 0.5 * n ** 2 / beta, n - 0.5 * beta)
+    if reduction == "mean":
+        return loss.mean()
+    if reduction == "sum":
+        return loss.sum()
+    return loss
+
+
+def torch_nms(boxes, scores, iou_threshold):
+    """Greedy NMS with torchvision.ops.nms semantics (keep indices sorted by
+    descending score), in pure torch — torchvision is not installed here."""
+    order = torch.argsort(scores, descending=True, stable=True)
+    keep = []
+    while order.numel() > 0:
+        i = order[0]
+        keep.append(int(i))
+        if order.numel() == 1:
+            break
+        rest = order[1:]
+        lt = torch.maximum(boxes[i, :2], boxes[rest, :2])
+        rb = torch.minimum(boxes[i, 2:], boxes[rest, 2:])
+        wh = (rb - lt).clamp(min=0)
+        inter = wh[:, 0] * wh[:, 1]
+        area_i = (boxes[i, 2] - boxes[i, 0]) * (boxes[i, 3] - boxes[i, 1])
+        area_r = (boxes[rest, 2] - boxes[rest, 0]) * (boxes[rest, 3] - boxes[rest, 1])
+        iou = inter / (area_i + area_r - inter)
+        order = rest[iou <= iou_threshold]
+    return torch.as_tensor(keep, dtype=torch.long)
+
+
+def torch_batched_nms(boxes, scores, idxs, iou_threshold):
+    """torchvision.ops.batched_nms via the coordinate-offset trick — the exact
+    formulation detectron2/layers/nms.py:16-43 wraps."""
+    if boxes.numel() == 0:
+        return torch.empty((0,), dtype=torch.long, device=boxes.device)
+    max_coordinate = boxes.max()
+    offsets = idxs.to(boxes) * (max_coordinate + torch.tensor(1).to(boxes))
+    return torch_nms(boxes + offsets[:, None], scores, iou_threshold)
+
+
+def _cross_entropy(input, target, *, reduction="mean", **kwargs):
+    """detectron2.layers.cross_entropy shim: F.cross_entropy with the
+    empty-input guard (layers/wrappers.py)."""
+    if target.numel() == 0 and reduction == "mean":
+        return input.sum() * 0.0
+    return F.cross_entropy(input, target, reduction=reduction, **kwargs)
+
+
+class _DummyStorage:
+    def put_scalar(self, *a, **k):
+        pass
+
+    def put_scalars(self, *a, **k):
+        pass
+
+
+@dataclass
+class ShapeSpec:
+    channels: int = None
+    height: int = None
+    width: int = None
+    stride: int = None
+
+
+def build_ref_pkg():
+    """Install the stub package tree (idempotent) and return a namespace of
+    the imported reference modules."""
+    if not os.path.isdir(REF):
+        return None
+    if "detectron2" not in sys.modules or not getattr(
+        sys.modules["detectron2"], "_cddmsl_oracle_stub", False
+    ):
+        for k in [k for k in sys.modules if k == "detectron2" or k.startswith("detectron2.")]:
+            del sys.modules[k]
+        d2 = _fake_module("detectron2")
+        d2._cddmsl_oracle_stub = True
+        _fake_module("detectron2.modeling", path=os.path.join(REF, "modeling"))
+        _fake_module("detectron2.modeling.roi_heads", path=os.path.join(REF, "modeling", "roi_heads"))
+        structures = _fake_module("detectron2.structures", path=os.path.join(REF, "structures"))
+        # layers gets a real __path__ so PURE-TORCH reference layer files
+        # (soft_nms.py) import for real; the CUDA-backed ones stay shimmed
+        _fake_module(
+            "detectron2.layers",
+            path=os.path.join(REF, "layers"),
+            nonzero_tuple=lambda x: torch.nonzero(x, as_tuple=True),
+            cat=lambda ts, dim=0: ts[0] if len(ts) == 1 else torch.cat(ts, dim),
+            cross_entropy=_cross_entropy,
+            batched_nms=torch_batched_nms,
+            nms=torch_nms,
+            ShapeSpec=ShapeSpec,
+        )
+
+        def _no_cuda_ext(*a, **k):
+            raise NotImplementedError("CUDA extension not available in the oracle shim")
+
+        _fake_module("detectron2.layers.rotated_boxes", pairwise_iou_rotated=_no_cuda_ext)
+        _fake_module("detectron2.utils")
+        _fake_module(
+            "detectron2.utils.env",
+            TORCH_VERSION=tuple(int(x) for x in torch.__version__.split(".")[:2]),
+        )
+        _fake_module("detectron2.utils.registry", Registry=_MiniRegistry)
+        _fake_module("detectron2.utils.events", get_event_storage=lambda: _DummyStorage())
+        _fake_module("detectron2.config", configurable=lambda f: f)
+        if "fvcore" not in sys.modules:
+            _fake_module("fvcore")
+        _fake_module("fvcore.nn", smooth_l1_loss=smooth_l1_loss, giou_loss=None)
+
+        boxes_m = importlib.import_module("detectron2.structures.boxes")
+        structures.Boxes = boxes_m.Boxes
+        structures.pairwise_iou = boxes_m.pairwise_iou
+        rot_m = importlib.import_module("detectron2.structures.rotated_boxes")
+        structures.RotatedBoxes = rot_m.RotatedBoxes
+        structures.pairwise_iou_rotated = _no_cuda_ext
+        inst_m = importlib.import_module("detectron2.structures.instances")
+        structures.Instances = inst_m.Instances
+
+    return types.SimpleNamespace(
+        boxes=importlib.import_module("detectron2.structures.boxes"),
+        rotated_boxes=importlib.import_module("detectron2.structures.rotated_boxes"),
+        instances=importlib.import_module("detectron2.structures.instances"),
+        matcher=importlib.import_module("detectron2.modeling.matcher"),
+        sampling=importlib.import_module("detectron2.modeling.sampling"),
+        box_regression=importlib.import_module("detectron2.modeling.box_regression"),
+        anchor_generator=importlib.import_module("detectron2.modeling.anchor_generator"),
+        soft_nms=importlib.import_module("detectron2.layers.soft_nms"),
+        fast_rcnn=importlib.import_module("detectron2.modeling.roi_heads.fast_rcnn"),
+        ShapeSpec=ShapeSpec,
+    )

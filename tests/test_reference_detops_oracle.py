@@ -30,122 +30,25 @@ Pinned against our implementations:
     :82-375 vs cddmsl_tpu/ops/anchors.py, models/rotated_rcnn.py)
 """
 
-import importlib
 import math
 import os
 import sys
-import types
 
 import jax.numpy as jnp
 import numpy as np
 import pytest
 import torch
 
-REF = "/root/reference/detectron2"
-
-
-def _fake_module(name, path=None, **attrs):
-    m = types.ModuleType(name)
-    if path is not None:
-        m.__path__ = [path]
-    for k, v in attrs.items():
-        setattr(m, k, v)
-    sys.modules[name] = m
-    return m
-
-
-class _MiniRegistry:
-    def __init__(self, name):
-        self._name = name
-        self._map = {}
-
-    def register(self, obj=None):
-        if obj is None:
-            def deco(cls):
-                self._map[cls.__name__] = cls
-                return cls
-
-            return deco
-        self._map[obj.__name__] = obj
-        return obj
-
-    def get(self, name):
-        return self._map[name]
-
-    # the reference module sets ANCHOR_GENERATOR_REGISTRY.__doc__
-    __doc__ = ""
-
-
-def _smooth_l1_loss(input, target, beta, reduction="none"):
-    """fvcore.nn.smooth_l1_loss shim (canonical definition; fvcore is not
-    installed here). Only the _dense_box_regression_loss pin flows through
-    this — the delta-transform pins never call it."""
-    if beta < 1e-5:
-        loss = torch.abs(input - target)
-    else:
-        n = torch.abs(input - target)
-        loss = torch.where(n < beta, 0.5 * n ** 2 / beta, n - 0.5 * beta)
-    if reduction == "mean":
-        return loss.mean()
-    if reduction == "sum":
-        return loss.sum()
-    return loss
+sys.path.insert(0, os.path.dirname(__file__))
+from _reference_shim import REF, build_ref_pkg  # noqa: E402
 
 
 @pytest.fixture(scope="module")
 def refmods():
-    if not os.path.isdir(REF):
+    mods = build_ref_pkg()
+    if mods is None:
         pytest.skip("reference tree not available")
-    # parents as stubs so detectron2/__init__.py (fvcore etc.) never executes;
-    # leaf packages get a real __path__ so `import detectron2.modeling.matcher`
-    # loads ONLY the reference file under test (relative imports intact)
-    if "detectron2" not in sys.modules or not hasattr(sys.modules["detectron2"], "_cddmsl_oracle_stub"):
-        for k in [k for k in sys.modules if k == "detectron2" or k.startswith("detectron2.")]:
-            del sys.modules[k]
-        d2 = _fake_module("detectron2")
-        d2._cddmsl_oracle_stub = True
-        _fake_module("detectron2.modeling", path=os.path.join(REF, "modeling"))
-        structures = _fake_module("detectron2.structures", path=os.path.join(REF, "structures"))
-        _fake_module(
-            "detectron2.layers",
-            nonzero_tuple=lambda x: torch.nonzero(x, as_tuple=True),
-            cat=lambda ts, dim=0: ts[0] if len(ts) == 1 else torch.cat(ts, dim),
-            ShapeSpec=None,  # replaced below once defined
-        )
-        _fake_module("detectron2.layers.rotated_boxes", pairwise_iou_rotated=None)
-        _fake_module("detectron2.utils")
-        _fake_module("detectron2.utils.env", TORCH_VERSION=tuple(int(x) for x in torch.__version__.split(".")[:2]))
-        _fake_module("detectron2.utils.registry", Registry=_MiniRegistry)
-        _fake_module("detectron2.config", configurable=lambda f: f)
-        if "fvcore" not in sys.modules:
-            _fake_module("fvcore")
-        _fake_module("fvcore.nn", smooth_l1_loss=_smooth_l1_loss, giou_loss=None)
-
-        from dataclasses import dataclass, field
-
-        @dataclass
-        class ShapeSpec:
-            channels: int = None
-            height: int = None
-            width: int = None
-            stride: int = None
-
-        sys.modules["detectron2.layers"].ShapeSpec = ShapeSpec
-
-        boxes_m = importlib.import_module("detectron2.structures.boxes")
-        structures.Boxes = boxes_m.Boxes
-        rot_m = importlib.import_module("detectron2.structures.rotated_boxes")
-        structures.RotatedBoxes = rot_m.RotatedBoxes
-
-    out = types.SimpleNamespace(
-        boxes=importlib.import_module("detectron2.structures.boxes"),
-        rotated_boxes=importlib.import_module("detectron2.structures.rotated_boxes"),
-        matcher=importlib.import_module("detectron2.modeling.matcher"),
-        sampling=importlib.import_module("detectron2.modeling.sampling"),
-        box_regression=importlib.import_module("detectron2.modeling.box_regression"),
-        anchor_generator=importlib.import_module("detectron2.modeling.anchor_generator"),
-    )
-    return out
+    return mods
 
 
 # ---------------------------------------------------------------- matcher
