@@ -58,8 +58,8 @@ class ResidualAttentionBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, causal: bool = False):
-        ln1 = nn.LayerNorm(dtype=jnp.float32, name="ln_1")  # LN in fp32 like reference LayerNorm
-        ln2 = nn.LayerNorm(dtype=jnp.float32, name="ln_2")
+        ln1 = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="ln_1")  # LN in fp32 like reference LayerNorm
+        ln2 = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="ln_2")
         x = x + MultiheadAttention(self.width, self.heads, dtype=self.dtype, name="attn")(
             ln1(x).astype(self.dtype), causal=causal
         )
@@ -103,7 +103,7 @@ class CLIPTextEncoder(nn.Module):
             ResidualAttentionBlock(self.width, self.heads, dtype=self.dtype)
             for _ in range(self.layers)
         ]
-        self.ln_final = nn.LayerNorm(dtype=jnp.float32)
+        self.ln_final = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32)
         self.text_projection = self.param(
             "text_projection", nn.initializers.normal(self.width ** -0.5), (self.width, self.embed_dim)
         )
@@ -184,12 +184,12 @@ class VisualTransformer(nn.Module):
         )
         x = jnp.concatenate([jnp.broadcast_to(cls.astype(self.dtype), (n, 1, self.width)), x], axis=1)
         x = x + pos[None].astype(self.dtype)
-        x = nn.LayerNorm(dtype=jnp.float32, name="ln_pre")(x).astype(self.dtype)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="ln_pre")(x).astype(self.dtype)
         for i in range(self.layers):
             x = ResidualAttentionBlock(
                 self.width, self.heads, dtype=self.dtype, name=f"resblocks_{i}"
             )(x, causal=False)
-        x = nn.LayerNorm(dtype=jnp.float32, name="ln_post")(x[:, 0])
+        x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="ln_post")(x[:, 0])
         proj = self.param(
             "proj", nn.initializers.normal(self.width ** -0.5), (self.width, self.output_dim)
         )

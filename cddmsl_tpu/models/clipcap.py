@@ -55,9 +55,9 @@ class ClipCapLayer(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        h = nn.LayerNorm(dtype=jnp.float32, name="norm1")(x).astype(self.dtype)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm1")(x).astype(self.dtype)
         x = x + ClipCapAttention(self.dim, self.heads, dtype=self.dtype, name="attn")(h)
-        h = nn.LayerNorm(dtype=jnp.float32, name="norm2")(x).astype(self.dtype)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm2")(x).astype(self.dtype)
         h = nn.Dense(int(self.dim * self.mlp_ratio), dtype=self.dtype, param_dtype=jnp.float32, name="mlp_fc1")(h)
         h = nn.relu(h)
         h = nn.Dense(self.dim, dtype=self.dtype, param_dtype=jnp.float32, name="mlp_fc2")(h)

@@ -25,6 +25,12 @@ def _fake_module(name, path=None, **attrs):
     m = types.ModuleType(name)
     if path is not None:
         m.__path__ = [path]
+    # a real ModuleSpec: transformers probes importlib.util.find_spec
+    # ("detectron2"), which raises ValueError on modules whose __spec__ is
+    # None (as raw ModuleType objects are)
+    m.__spec__ = importlib.machinery.ModuleSpec(name, loader=None, is_package=path is not None)
+    if path is not None:
+        m.__spec__.submodule_search_locations = [path]
     for k, v in attrs.items():
         setattr(m, k, v)
     sys.modules[name] = m
@@ -158,17 +164,34 @@ def build_ref_pkg():
             raise NotImplementedError("CUDA extension not available in the oracle shim")
 
         _fake_module("detectron2.layers.rotated_boxes", pairwise_iou_rotated=_no_cuda_ext)
-        _fake_module("detectron2.utils")
         _fake_module(
+            "detectron2.modeling.backbone", path=os.path.join(REF, "modeling", "backbone")
+        )
+        utils = _fake_module("detectron2.utils")
+        utils.env = _fake_module(
             "detectron2.utils.env",
             TORCH_VERSION=tuple(int(x) for x in torch.__version__.split(".")[:2]),
         )
         _fake_module("detectron2.utils.registry", Registry=_MiniRegistry)
         _fake_module("detectron2.utils.events", get_event_storage=lambda: _DummyStorage())
+        # single-process shims for the reference's SyncBN support code
+        # (layers/batch_norm.py imports these; FrozenBatchNorm2d — the class
+        # under test — never calls them)
+        utils.comm = _fake_module(
+            "detectron2.utils.comm",
+            get_world_size=lambda: 1,
+            get_rank=lambda: 0,
+        )
         _fake_module("detectron2.config", configurable=lambda f: f)
         if "fvcore" not in sys.modules:
             _fake_module("fvcore")
         _fake_module("fvcore.nn", smooth_l1_loss=smooth_l1_loss, giou_loss=None)
+        _fake_module(
+            "fvcore.nn.weight_init",
+            c2_msra_fill=lambda m: None,
+            c2_xavier_fill=lambda m: None,
+        )
+        _fake_module("fvcore.nn.distributed", differentiable_all_reduce=lambda x: x)
 
         boxes_m = importlib.import_module("detectron2.structures.boxes")
         structures.Boxes = boxes_m.Boxes
@@ -189,5 +212,6 @@ def build_ref_pkg():
         anchor_generator=importlib.import_module("detectron2.modeling.anchor_generator"),
         soft_nms=importlib.import_module("detectron2.layers.soft_nms"),
         fast_rcnn=importlib.import_module("detectron2.modeling.roi_heads.fast_rcnn"),
+        clip_backbone=importlib.import_module("detectron2.modeling.backbone.clip_backbone"),
         ShapeSpec=ShapeSpec,
     )
