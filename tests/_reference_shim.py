@@ -201,6 +201,61 @@ def build_ref_pkg():
         structures.pairwise_iou_rotated = _no_cuda_ext
         inst_m = importlib.import_module("detectron2.structures.instances")
         structures.Instances = inst_m.Instances
+        structures.ImageList = importlib.import_module(
+            "detectron2.structures.image_list"
+        ).ImageList
+        structures.ROIMasks = None  # CUDA-free placeholder (postprocess-only)
+
+        # ---- extra leaves for the CDDMSL meta-arch (meta_arch/rcnn.py) ----
+        _fake_module("detectron2.modeling.meta_arch", path=os.path.join(REF, "modeling", "meta_arch"))
+        _fake_module(
+            "detectron2.modeling.meta_arch.build", META_ARCH_REGISTRY=_MiniRegistry("META_ARCH")
+        )
+        _fake_module(
+            "detectron2.modeling.backbone.clipcap",
+            path=os.path.join(REF, "modeling", "backbone", "clipcap"),
+        )
+        _fake_module("detectron2.modeling.proposal_generator", build_proposal_generator=None)
+        sys.modules["detectron2.modeling.roi_heads"].build_roi_heads = None
+        bb_base = importlib.import_module("detectron2.modeling.backbone.backbone")
+        sys.modules["detectron2.modeling.backbone"].Backbone = bb_base.Backbone
+        sys.modules["detectron2.modeling.backbone"].build_backbone = None
+        _fake_module("detectron2.data")
+        _fake_module("detectron2.data.detection_utils", convert_image_to_rgb=None)
+        _fake_module("detectron2.data.transforms")
+        _fake_module("detectron2.data.transforms.torchvision_transforms")
+        _fake_module(
+            "detectron2.data.transforms.torchvision_transforms.transforms", Normalize=object
+        )
+        _fake_module("detectron2.utils.logger", log_first_n=lambda *a, **k: None)
+        if "torchvision" not in sys.modules:
+            # only the NAMES are needed at import time; the preprocess
+            # methods that would call these are not under test
+            class _InterpolationMode:
+                BICUBIC = "bicubic"
+                NEAREST = "nearest"
+                BILINEAR = "bilinear"
+
+            tv = _fake_module("torchvision")
+            tv.transforms = _fake_module(
+                "torchvision.transforms", Resize=object, CenterCrop=object
+            )
+            _fake_module("torchvision.transforms.functional", InterpolationMode=_InterpolationMode)
+        # numpy 2.x removed the numpy.lib.pad alias the reference imports
+        import numpy as _np
+        import numpy.lib as _nplib
+
+        if not hasattr(_nplib, "pad"):
+            _nplib.pad = _np.pad
+        # clipcap.py leaf shims (same trio as tests/test_clipcap_reference_oracle.py)
+        if "clip" not in sys.modules:
+            _fake_module("clip")
+        if "tqdm" not in sys.modules:
+            _fake_module("tqdm", tqdm=lambda it=None, **k: it, trange=lambda n, **k: range(n))
+        import transformers
+
+        if not hasattr(transformers, "AdamW"):
+            transformers.AdamW = torch.optim.AdamW
 
     return types.SimpleNamespace(
         boxes=importlib.import_module("detectron2.structures.boxes"),
@@ -213,5 +268,8 @@ def build_ref_pkg():
         soft_nms=importlib.import_module("detectron2.layers.soft_nms"),
         fast_rcnn=importlib.import_module("detectron2.modeling.roi_heads.fast_rcnn"),
         clip_backbone=importlib.import_module("detectron2.modeling.backbone.clip_backbone"),
+        clipcap=importlib.import_module("detectron2.modeling.backbone.clipcap.clipcap"),
+        gather=importlib.import_module("detectron2.modeling.backbone.clipcap.gather"),
+        meta_rcnn=importlib.import_module("detectron2.modeling.meta_arch.rcnn"),
         ShapeSpec=ShapeSpec,
     )
