@@ -165,7 +165,13 @@ def fast_rcnn_inference_single_image(
     r = scores.shape[0]
     probs = jax.nn.softmax(scores, axis=-1)[:, :-1]  # (R, K)
     if multiply_rpn_score and rpn_scores is not None:
-        probs = jnp.sqrt(probs * jax.nn.sigmoid(rpn_scores)[:, None])
+        # reference fast_rcnn.py:707-710: multiply the RAW objectness logit
+        # (not a sigmoid probability) and sqrt. Proposals with negative
+        # objectness go NaN and are dropped below (cand_valid: NaN > thresh
+        # is False), reproducing the reference's torch.isfinite row filter
+        # (fast_rcnn.py:153-157). Verified against the reference's own code
+        # in tests/test_reference_fast_rcnn_oracle.py.
+        probs = jnp.sqrt(probs * rpn_scores[:, None])
 
     if no_box_delta:
         boxes = jnp.broadcast_to(proposal_boxes[:, None, :], (r, num_classes, 4))

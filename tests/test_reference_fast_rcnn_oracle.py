@@ -205,3 +205,56 @@ def test_inference_matches_reference(refmods, ref_layer, rng, no_box_delta):
     np.testing.assert_allclose(got_scores, want_scores, rtol=1e-4, atol=1e-5)
     np.testing.assert_array_equal(got_classes, want_classes)
     np.testing.assert_allclose(got_boxes, want_boxes, rtol=1e-4, atol=1e-3)
+
+
+def test_inference_multiply_rpn_score_matches_reference(refmods, ref_layer, rng):
+    """MODEL.CLIP.MULTIPLY_RPN_SCORE (reference fast_rcnn.py:707-710):
+    class probabilities are multiplied by the RAW objectness logit and
+    sqrt'd — proposals with negative objectness go NaN and are dropped by
+    the reference's isfinite row filter (:153-157). Ours must reproduce
+    both the weighting and the drop semantics."""
+    from cddmsl_tpu.models.fast_rcnn import fast_rcnn_inference_single_image
+    from cddmsl_tpu.ops.box_regression import Box2BoxTransform
+
+    r, h, w = 200, 480, 640
+    inst, boxes = _proposals(refmods, rng, r, h, w)
+    # mixed-sign objectness: ~1/4 negative -> those proposals must vanish
+    obj = (rng.randn(r) * 1.5 + 1.0).astype(np.float32)
+    inst.objectness_logits = torch.from_numpy(obj)
+    assert (obj < 0).sum() > 10
+    x = rng.randn(r, EMBED).astype(np.float32)
+    (want_s, want_d), (got_s, got_d) = _forward_both(ref_layer, x)
+
+    ref_layer.multiply_rpn_score = True
+    try:
+        with torch.no_grad():
+            results, _ = ref_layer.inference(
+                (torch.from_numpy(want_s), torch.from_numpy(want_d)), [inst]
+            )
+    finally:
+        ref_layer.multiply_rpn_score = False
+    res = results[0]
+
+    det = fast_rcnn_inference_single_image(
+        jnp.asarray(got_s),
+        jnp.asarray(got_d),
+        jnp.asarray(boxes),
+        jnp.ones((r,), bool),
+        jnp.asarray([h, w], jnp.int32),
+        Box2BoxTransform((10.0, 10.0, 5.0, 5.0)),
+        NUM_CLASSES,
+        score_thresh=0.02,
+        nms_thresh=0.5,
+        topk_per_image=100,
+        rpn_scores=jnp.asarray(obj),
+        multiply_rpn_score=True,
+    )
+    valid = np.asarray(det.valid)
+    got_scores = np.asarray(det.scores)[valid]
+    want_scores = res.scores.numpy()
+    assert len(got_scores) == len(want_scores), (len(got_scores), len(want_scores))
+    np.testing.assert_allclose(got_scores, want_scores, rtol=1e-4, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(det.classes)[valid], res.pred_classes.numpy())
+    np.testing.assert_allclose(
+        np.asarray(det.boxes)[valid], res.pred_boxes.tensor.numpy(), rtol=1e-4, atol=1e-3
+    )
