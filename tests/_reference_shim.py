@@ -215,7 +215,11 @@ def build_ref_pkg():
             "detectron2.modeling.backbone.clipcap",
             path=os.path.join(REF, "modeling", "backbone", "clipcap"),
         )
-        _fake_module("detectron2.modeling.proposal_generator", build_proposal_generator=None)
+        _fake_module(
+            "detectron2.modeling.proposal_generator",
+            path=os.path.join(REF, "modeling", "proposal_generator"),
+            build_proposal_generator=None,
+        )
         sys.modules["detectron2.modeling.roi_heads"].build_roi_heads = None
         bb_base = importlib.import_module("detectron2.modeling.backbone.backbone")
         sys.modules["detectron2.modeling.backbone"].Backbone = bb_base.Backbone

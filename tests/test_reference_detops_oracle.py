@@ -325,3 +325,63 @@ def test_rotated_anchor_generator_matches_reference(refmods):
     want = gen([torch.zeros(1, 4, 25, 40)])[0].tensor.numpy()
     got = np.asarray(rotated_anchor_grid(25, 40, stride, sizes, ars, angles))
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-4)
+
+
+# ------------------------------------------------------- RPN proposal top-k
+
+
+def test_find_top_rpn_proposals_matches_reference(refmods, rng):
+    """find_top_rpn_proposals (proposal_utils.py:22-126: per-level top-k ->
+    isfinite filter -> clip -> min-size filter -> NMS -> post-topk) vs our
+    RPN._predict_proposals on identical logits/deltas/anchors (decode via
+    the already-pinned Box2BoxTransform)."""
+    import importlib
+
+    import jax.numpy as _jnp
+
+    pu = importlib.import_module("detectron2.modeling.proposal_generator.proposal_utils")
+    from cddmsl_tpu.models.rpn import RPN
+    from cddmsl_tpu.ops.anchors import anchor_grid, generate_cell_anchors
+
+    h, w, stride = 25, 38, 16
+    sizes, ars = (32, 64, 128), (0.5, 1.0, 2.0)
+    anchors = np.asarray(anchor_grid(h, w, stride, generate_cell_anchors(sizes, ars), offset=0.0))
+    a = anchors.shape[0]
+    b, img_hw = 2, (400, 600)
+    logits = rng.randn(b, a).astype(np.float32)
+    deltas = (rng.randn(b, a, 4) * 0.4).astype(np.float32)
+    pre_k, post_k, nms_t, min_sz = 1000, 120, 0.7, 2.0
+
+    ref_tr = refmods.box_regression.Box2BoxTransform(weights=(1.0, 1.0, 1.0, 1.0))
+    with torch.no_grad():
+        dec = torch.stack(
+            [
+                ref_tr.apply_deltas(torch.from_numpy(deltas[i]), torch.from_numpy(anchors))
+                for i in range(b)
+            ]
+        )
+        want = pu.find_top_rpn_proposals(
+            [dec], [torch.from_numpy(logits)], [img_hw] * b,
+            nms_t, pre_k, post_k, min_sz, training=False,
+        )
+
+    rpn = RPN(
+        in_channels=64, stride=stride, anchor_sizes=sizes, anchor_aspect_ratios=ars,
+        pre_nms_topk_test=pre_k, post_nms_topk_test=post_k,
+        nms_thresh=nms_t, min_box_size=min_sz,
+    )
+    props = rpn.apply(
+        {"params": {}},
+        jnp.asarray(anchors), jnp.asarray(logits), jnp.asarray(deltas),
+        _jnp.asarray([list(img_hw)] * b, _jnp.int32), False,
+        method=RPN._predict_proposals,
+    )
+    for i in range(b):
+        want_b = want[i].proposal_boxes.tensor.numpy()
+        want_s = want[i].objectness_logits.numpy()
+        v = np.asarray(props.valid[i])
+        got_b = np.asarray(props.boxes[i])[v]
+        got_s = np.asarray(props.scores[i])[v]
+        assert len(got_s) == len(want_s), (len(got_s), len(want_s))
+        np.testing.assert_allclose(got_s, want_s, rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(got_b, want_b, rtol=1e-4, atol=1e-3)
