@@ -174,6 +174,11 @@ def build_ref_pkg():
         )
         _fake_module("detectron2.utils.registry", Registry=_MiniRegistry)
         _fake_module("detectron2.utils.events", get_event_storage=lambda: _DummyStorage())
+        _fake_module("detectron2.utils.memory", retry_if_cuda_oom=lambda f: f)
+        _fake_module(
+            "detectron2.modeling.proposal_generator.build",
+            PROPOSAL_GENERATOR_REGISTRY=_MiniRegistry("PROPOSAL_GENERATOR"),
+        )
         # single-process shims for the reference's SyncBN support code
         # (layers/batch_norm.py imports these; FrozenBatchNorm2d — the class
         # under test — never calls them)
@@ -193,6 +198,8 @@ def build_ref_pkg():
         )
         _fake_module("fvcore.nn.distributed", differentiable_all_reduce=lambda x: x)
 
+        wrappers_m = importlib.import_module("detectron2.layers.wrappers")
+        sys.modules["detectron2.layers"].Conv2d = wrappers_m.Conv2d
         boxes_m = importlib.import_module("detectron2.structures.boxes")
         structures.Boxes = boxes_m.Boxes
         structures.pairwise_iou = boxes_m.pairwise_iou

@@ -385,3 +385,77 @@ def test_find_top_rpn_proposals_matches_reference(refmods, rng):
         assert len(got_s) == len(want_s), (len(got_s), len(want_s))
         np.testing.assert_allclose(got_s, want_s, rtol=1e-5, atol=1e-6)
         np.testing.assert_allclose(got_b, want_b, rtol=1e-4, atol=1e-3)
+
+
+def test_rpn_losses_match_reference_exhaustive(refmods, rng):
+    """The reference RPN.losses composition (rpn.py:366-430: matcher ->
+    subsample -> BCE over sampled + dense smooth-L1 over positives, both
+    normalized by batch_size_per_image * N) vs our RPN._losses. Sampling is
+    RNG-divergent by design, so batch_size_per_image = 2*A makes it
+    exhaustive and the losses exactly deterministic on both sides."""
+    import importlib
+
+    import jax
+
+    rpn_mod = importlib.import_module("detectron2.modeling.proposal_generator.rpn")
+    from cddmsl_tpu.models.rpn import RPN
+    from cddmsl_tpu.ops.anchors import anchor_grid, generate_cell_anchors
+
+    h, w, stride = 20, 30, 16
+    sizes, ars = (32, 64, 128), (0.5, 1.0, 2.0)
+    anchors = np.asarray(anchor_grid(h, w, stride, generate_cell_anchors(sizes, ars), offset=0.0))
+    a = anchors.shape[0]
+    b, img_hw, g = 2, (320, 480), 3
+    bs = 2 * a  # exhaustive sampling
+
+    logits = rng.randn(b, a).astype(np.float32)
+    deltas = (rng.randn(b, a, 4) * 0.3).astype(np.float32)
+    gt = np.zeros((b, g, 4), np.float32)
+    for i in range(b):
+        x1 = rng.rand(g) * 300
+        y1 = rng.rand(g) * 180
+        gt[i] = np.stack([x1, y1, x1 + 40 + rng.rand(g) * 120, y1 + 40 + rng.rand(g) * 100], 1)
+
+    ref = rpn_mod.RPN(
+        in_features=["res4"],
+        head=torch.nn.Identity(),
+        anchor_generator=refmods.anchor_generator.DefaultAnchorGenerator(
+            sizes=[list(sizes)], aspect_ratios=[list(ars)], strides=[stride], offset=0.0
+        ),
+        anchor_matcher=refmods.matcher.Matcher([0.3, 0.7], [0, -1, 1], allow_low_quality_matches=True),
+        box2box_transform=refmods.box_regression.Box2BoxTransform(weights=(1.0, 1.0, 1.0, 1.0)),
+        batch_size_per_image=bs,
+        positive_fraction=0.5,
+        pre_nms_topk=(1000, 500),
+        post_nms_topk=(200, 100),
+        nms_thresh=0.7,
+    )
+    insts = []
+    for i in range(b):
+        inst = refmods.instances.Instances(img_hw)
+        inst.gt_boxes = refmods.boxes.Boxes(torch.from_numpy(gt[i]))
+        insts.append(inst)
+    ref_anchors = [refmods.boxes.Boxes(torch.from_numpy(anchors))]
+    gt_labels, gt_boxes = ref.label_and_sample_anchors(ref_anchors, insts)
+    want = ref.losses(
+        ref_anchors, [torch.from_numpy(logits)], gt_labels,
+        [torch.from_numpy(deltas)], gt_boxes,
+    )
+
+    ours = RPN(
+        in_channels=64, stride=stride, anchor_sizes=sizes, anchor_aspect_ratios=ars,
+        batch_size_per_image=bs, positive_fraction=0.5,
+        iou_thresholds=(0.3, 0.7), iou_labels=(0, -1, 1),
+        bbox_reg_weights=(1.0, 1.0, 1.0, 1.0), smooth_l1_beta=0.0,
+    )
+    got = ours.apply(
+        {"params": {}},
+        jnp.asarray(anchors), jnp.asarray(logits), jnp.asarray(deltas),
+        jnp.asarray(gt), jnp.ones((b, g), bool),
+        jax.random.split(jax.random.PRNGKey(0), b),
+        method=RPN._losses,
+    )
+    np.testing.assert_allclose(float(got["loss_rpn_cls"]), want["loss_rpn_cls"].item(), rtol=1e-5)
+    np.testing.assert_allclose(float(got["loss_rpn_loc"]), want["loss_rpn_loc"].item(), rtol=1e-5)
+    # non-degenerate: positives exist
+    assert sum((l == 1).sum().item() for l in gt_labels) > 0
