@@ -252,12 +252,25 @@ def build_ref_pkg():
                 "torchvision.transforms", Resize=object, CenterCrop=object
             )
             _fake_module("torchvision.transforms.functional", InterpolationMode=_InterpolationMode)
-        # numpy 2.x removed the numpy.lib.pad alias the reference imports
+        # numpy 2.x removed the numpy.lib.pad alias and the np.bool alias
+        # the reference uses (meta_arch/rcnn.py:5, pascal_voc_evaluation.py)
         import numpy as _np
         import numpy.lib as _nplib
 
         if not hasattr(_nplib, "pad"):
             _nplib.pad = _np.pad
+        if not hasattr(_np, "bool"):
+            _np.bool = bool
+        # VOC evaluator leaves
+        class _PassthroughPathManager:
+            @staticmethod
+            def open(path, mode="r", **kw):
+                return open(path, mode, **kw)
+
+        sys.modules["detectron2.data"].MetadataCatalog = None
+        _fake_module("detectron2.utils.file_io", PathManager=_PassthroughPathManager)
+        _fake_module("detectron2.evaluation", path=os.path.join(REF, "evaluation"))
+        _fake_module("detectron2.evaluation.evaluator", DatasetEvaluator=object)
         # clipcap.py leaf shims (same trio as tests/test_clipcap_reference_oracle.py)
         if "clip" not in sys.modules:
             _fake_module("clip")
@@ -282,5 +295,6 @@ def build_ref_pkg():
         clipcap=importlib.import_module("detectron2.modeling.backbone.clipcap.clipcap"),
         gather=importlib.import_module("detectron2.modeling.backbone.clipcap.gather"),
         meta_rcnn=importlib.import_module("detectron2.modeling.meta_arch.rcnn"),
+        pascal_voc=importlib.import_module("detectron2.evaluation.pascal_voc_evaluation"),
         ShapeSpec=ShapeSpec,
     )
