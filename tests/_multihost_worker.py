@@ -41,8 +41,22 @@ def main():
     # these workers REQUIRE executables compiled with the deterministic
     # scheduler flag above (the racy collective launch order is baked into
     # the executable) — sharing the suite's dir can resurrect poisoned
-    # pre-flag entries and deadlock gloo clique rendezvous
-    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_cddmsl_mh")
+    # pre-flag entries and deadlock gloo clique rendezvous.
+    # CPU-fingerprinted like conftest's: entries compiled by a previous
+    # session on a richer-ISA machine mis-load here and kill one rank
+    # mid-step, which the peer observes as a 30 s gloo clique timeout
+    # (round-5 failure mode — see tests/conftest.py; inlined because
+    # importing conftest would run its 8-device assertions)
+    import hashlib
+
+    try:
+        with open("/proc/cpuinfo") as f:
+            fp = hashlib.md5(
+                next(l for l in f if l.startswith("flags")).encode()
+            ).hexdigest()[:10]
+    except Exception:
+        fp = "generic"
+    jax.config.update("jax_compilation_cache_dir", f"/tmp/jax_cache_cddmsl_mh_{fp}")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
     jax.config.update("jax_persistent_cache_enable_xla_caches", "none")

@@ -28,7 +28,26 @@ assert jax.device_count() == 8, "expected 8 virtual CPU devices"
 # Skip XLA-level AOT artifacts: their host-feature stamps (+prefer-no-gather
 # etc.) fail to reload on some CPUs, so the cache would never hit and spam
 # cpu_aot_loader errors (the round-1 MULTICHIP failure mode).
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_cddmsl_tests")
+# The cache dir is FINGERPRINTED by the host's CPU feature set: /tmp persists
+# across sessions but sessions hop machines, and entries compiled on a
+# richer-ISA host mis-load here (cpu_aot_loader machine-mismatch warnings;
+# in the 2-process gloo tests a poisoned rank dies mid-step and the peer
+# times out at the next collective clique — the round-5 test_multihost
+# failure mode).
+def _cpu_fingerprint() -> str:
+    import hashlib
+
+    try:
+        with open("/proc/cpuinfo") as f:
+            flags = next(l for l in f if l.startswith("flags"))
+        return hashlib.md5(flags.encode()).hexdigest()[:10]
+    except Exception:
+        return "generic"
+
+
+jax.config.update(
+    "jax_compilation_cache_dir", f"/tmp/jax_cache_cddmsl_tests_{_cpu_fingerprint()}"
+)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 jax.config.update("jax_persistent_cache_enable_xla_caches", "none")
