@@ -77,3 +77,20 @@ def _clear_jax_caches_after_module():
 
     stop_all_prefetchers()
     jax.clear_caches()
+
+
+def pytest_collection_modifyitems(session, config, items):
+    """Run the 2-process gloo integration tests FIRST.
+
+    By mid-suite the parent pytest process retains ~15 GB of compiled
+    executables, and the resulting khugepaged compaction storms (see the
+    RSS note above) starve one spawned worker rank for >30 s mid-step —
+    gloo's hardcoded clique-creation window — killing test_multihost with
+    'GetKeyValue() timed out' even on a warm compile cache. At suite start
+    the parent is ~2 GB and the same tests pass deterministically (they
+    also pass standalone at any time). Alphabetical order otherwise.
+    """
+    mh = [it for it in items if "test_multihost" in it.nodeid]
+    if mh:
+        rest = [it for it in items if "test_multihost" not in it.nodeid]
+        items[:] = mh + rest
