@@ -82,13 +82,19 @@ def _clear_jax_caches_after_module():
 def pytest_collection_modifyitems(session, config, items):
     """Run the 2-process gloo integration tests FIRST.
 
-    By mid-suite the parent pytest process retains ~15 GB of compiled
-    executables, and the resulting khugepaged compaction storms (see the
-    RSS note above) starve one spawned worker rank for >30 s mid-step —
-    gloo's hardcoded clique-creation window — killing test_multihost with
-    'GetKeyValue() timed out' even on a warm compile cache. At suite start
-    the parent is ~2 GB and the same tests pass deterministically (they
-    also pass standalone at any time). Alphabetical order otherwise.
+    test_multihost passes deterministically when pytest targets the module
+    (directly, or alongside other modules), but inside a full `pytest
+    tests/` run one worker rank falls >30 s behind mid-step — gloo's
+    hardcoded clique-creation window — and dies with 'GetKeyValue() timed
+    out' even on a warm compile cache and with this module first. The
+    per-rank executables and the machinery (compile-barrier + per-step
+    drain, parallel/multihost.py) are validated by the standalone runs;
+    the full-run interaction (full-collection imports are the remaining
+    suspect — parent RSS and khugepaged storms were measured and ruled
+    out at 111 GB free) is an emulation-environment artifact of the
+    shared 1-core host, still under investigation (docs/STATUS.md round-5
+    ops note). Running the module first minimizes the parent's footprint
+    either way. Alphabetical order otherwise.
     """
     mh = [it for it in items if "test_multihost" in it.nodeid]
     if mh:
