@@ -158,6 +158,10 @@ def build_ref_pkg():
             batched_nms=torch_batched_nms,
             nms=torch_nms,
             ShapeSpec=ShapeSpec,
+            # name-only: poolers.py imports these; ROIPooler.forward (which
+            # would call them) is not under test — assign_boxes_to_levels is
+            ROIAlign=object,
+            ROIAlignRotated=object,
         )
 
         def _no_cuda_ext(*a, **k):
@@ -232,6 +236,7 @@ def build_ref_pkg():
         sys.modules["detectron2.modeling.backbone"].Backbone = bb_base.Backbone
         sys.modules["detectron2.modeling.backbone"].build_backbone = None
         _fake_module("detectron2.data")
+        _fake_module("detectron2.data.samplers", path=os.path.join(REF, "data", "samplers"))
         _fake_module("detectron2.data.detection_utils", convert_image_to_rgb=None)
         _fake_module("detectron2.data.transforms")
         _fake_module("detectron2.data.transforms.torchvision_transforms")
@@ -252,6 +257,9 @@ def build_ref_pkg():
                 "torchvision.transforms", Resize=object, CenterCrop=object
             )
             _fake_module("torchvision.transforms.functional", InterpolationMode=_InterpolationMode)
+            # name-only: modeling/poolers.py imports RoIPool (the torchvision
+            # pooling op itself is never constructed by the oracle tests)
+            tv.ops = _fake_module("torchvision.ops", RoIPool=object)
         # numpy 2.x removed the numpy.lib.pad alias and the np.bool alias
         # the reference uses (meta_arch/rcnn.py:5, pascal_voc_evaluation.py)
         import numpy as _np
@@ -296,5 +304,15 @@ def build_ref_pkg():
         gather=importlib.import_module("detectron2.modeling.backbone.clipcap.gather"),
         meta_rcnn=importlib.import_module("detectron2.modeling.meta_arch.rcnn"),
         pascal_voc=importlib.import_module("detectron2.evaluation.pascal_voc_evaluation"),
+        poolers=importlib.import_module("detectron2.modeling.poolers"),
+        proposal_utils=importlib.import_module(
+            "detectron2.modeling.proposal_generator.proposal_utils"
+        ),
+        mask_ops=importlib.import_module("detectron2.layers.mask_ops"),
+        keypoints=importlib.import_module("detectron2.structures.keypoints"),
+        distributed_sampler=importlib.import_module(
+            "detectron2.data.samplers.distributed_sampler"
+        ),
+        image_list=importlib.import_module("detectron2.structures.image_list"),
         ShapeSpec=ShapeSpec,
     )
