@@ -215,6 +215,53 @@ def test_keypoint_decode_matches_reference(refmods, rng):
     assert np.abs(np.log(ours[..., 2]) - np.log(ref[..., 3])).max() < 1.0
 
 
+# ----------------------------------------------------------------- soft-NMS
+@pytest.mark.parametrize("method", ["gaussian", "linear", "hard"])
+def test_soft_nms_matches_reference_code(refmods, rng, method):
+    """The ACTUAL reference layers/soft_nms.py (pure torch, imported whole)
+    vs ops/soft_nms.py — upgrades test_soft_nms_parity.py's builder-written
+    numpy oracle to reference code itself: same kept-index sequence, same
+    decayed scores, for all three methods, plain and class-batched."""
+    from cddmsl_tpu.ops.soft_nms import batched_soft_nms, soft_nms
+
+    n = 40
+    centers = rng.uniform(10, 90, size=(n // 4, 2)).repeat(4, axis=0)
+    jitter = rng.uniform(-6, 6, size=(n, 2))
+    wh = rng.uniform(8, 30, size=(n, 2))
+    boxes = np.concatenate(
+        [centers + jitter - wh / 2, centers + jitter + wh / 2], axis=1
+    ).astype(np.float32)
+    scores = rng.uniform(0.05, 1.0, size=n).astype(np.float32)
+    classes = rng.randint(0, 3, size=n)
+
+    want_idx, want_scores = refmods.soft_nms.soft_nms(
+        torch.from_numpy(boxes), torch.from_numpy(scores), method, 0.5, 0.3, 0.001
+    )
+    idx, new_scores, valid = soft_nms(
+        jnp.asarray(boxes), jnp.asarray(scores), method=method,
+        gaussian_sigma=0.5, linear_threshold=0.3, prune_threshold=0.001, max_out=n,
+    )
+    got_idx = np.asarray(idx)[np.asarray(valid)]
+    np.testing.assert_array_equal(got_idx, want_idx.numpy())
+    np.testing.assert_allclose(
+        np.asarray(new_scores)[np.asarray(valid)], want_scores.numpy(), rtol=2e-5, atol=1e-6
+    )
+
+    want_idx, want_scores = refmods.soft_nms.batched_soft_nms(
+        torch.from_numpy(boxes), torch.from_numpy(scores),
+        torch.from_numpy(classes), method, 0.5, 0.3, 0.001,
+    )
+    idx, new_scores, valid = batched_soft_nms(
+        jnp.asarray(boxes), jnp.asarray(scores), jnp.asarray(classes), method=method,
+        gaussian_sigma=0.5, linear_threshold=0.3, prune_threshold=0.001, max_out=n,
+    )
+    got_idx = np.asarray(idx)[np.asarray(valid)]
+    np.testing.assert_array_equal(got_idx, want_idx.numpy())
+    np.testing.assert_allclose(
+        np.asarray(new_scores)[np.asarray(valid)], want_scores.numpy(), rtol=2e-5, atol=1e-6
+    )
+
+
 # ------------------------------------------------------ LVIS repeat factors
 def test_repeat_factors_match_reference(refmods, rng):
     from cddmsl_tpu.data.build import RepeatFactorTrainingSampler as OurSampler
