@@ -81,17 +81,20 @@ def _run_workers(fixture_root, outdir):
 def twoproc_results(tmp_path_factory):
     fixture_root = str(tmp_path_factory.mktemp("mh_fixture"))
     outs = None
-    for attempt in range(2):
-        # Two attempts: gloo collective-context creation gives late ranks a
-        # hardcoded 30 s window, so on a 1-core host a cold-cache compile
-        # phase can still kill attempt 1. Its compiles persist in the cache,
-        # making attempt 2 warm (programs load in seconds, skew ~0).
+    for attempt in range(3):
+        # Multiple attempts: gloo collective-context creation gives late
+        # ranks a hardcoded 30 s window, so on a 1-core host a cold-cache
+        # compile phase can still kill attempt 1. Its compiles persist in
+        # the cache, making later attempts warm (programs load in seconds,
+        # skew ~0). A third attempt absorbs the residual full-suite-only
+        # host-contention flake (docs/STATUS.md round-5 ops note).
         outdir = str(tmp_path_factory.mktemp(f"mh_out{attempt}"))
         outs = _run_workers(fixture_root, outdir)
         if all(
             os.path.exists(os.path.join(outdir, f"result_rank{r}.json")) for r in (0, 1)
         ):
             break
+        time.sleep(10)  # let straggler sockets/threads drain before retrying
     results = {}
     for r in (0, 1):
         path = os.path.join(outdir, f"result_rank{r}.json")
