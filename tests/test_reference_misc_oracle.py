@@ -262,6 +262,41 @@ def test_soft_nms_matches_reference_code(refmods, rng, method):
     )
 
 
+# ------------------------------------------------- keypoint target encoding
+def test_keypoint_encode_matches_reference(refmods, rng):
+    """_keypoints_to_heatmap (structures/keypoints.py:96-152) vs our
+    keypoints_to_heatmap_targets: identical flat-index targets and validity,
+    including the x==x2/y==y2 boundary-bin override, out-of-roi and
+    invisible keypoints."""
+    from cddmsl_tpu.models.keypoint_head import KeypointROIHeads
+
+    n, k, s = 8, 6, 56
+    rois = rng.uniform(0, 50, size=(n, 4)).astype(np.float32)
+    rois[:, 2:] = rois[:, :2] + rng.uniform(10, 60, size=(n, 2))
+    kps = np.zeros((n, k, 3), np.float32)
+    # spread: interior, off-roi, negative coords
+    kps[..., 0] = rng.uniform(-10, 120, size=(n, k))
+    kps[..., 1] = rng.uniform(-10, 120, size=(n, k))
+    kps[..., 2] = rng.randint(0, 3, size=(n, k))
+    # exact right/bottom boundary hits (the reference's special case)
+    kps[0, 0, :] = [rois[0, 2], rois[0, 3], 2]
+    kps[1, 1, :] = [rois[1, 0], rois[1, 1], 1]  # exact top-left corner
+    kps[2, 2, :] = [rois[2, 2], rois[2, 1], 0]  # boundary but invisible
+
+    want_pos, want_valid = refmods.keypoints._keypoints_to_heatmap(
+        torch.from_numpy(kps), torch.from_numpy(rois), s
+    )
+    pos, vis = KeypointROIHeads.keypoints_to_heatmap_targets(
+        jnp.asarray(kps), jnp.asarray(rois), s
+    )
+    got_valid = np.asarray(vis).astype(np.int64)
+    np.testing.assert_array_equal(got_valid, want_valid.numpy())
+    # the reference zeroes target indices of invalid keypoints (lin_ind * valid)
+    np.testing.assert_array_equal(
+        np.asarray(pos) * got_valid, want_pos.numpy()
+    )
+
+
 # ------------------------------------------------------ LVIS repeat factors
 def test_repeat_factors_match_reference(refmods, rng):
     from cddmsl_tpu.data.build import RepeatFactorTrainingSampler as OurSampler
