@@ -305,6 +305,7 @@ def build_ref_pkg():
         meta_rcnn=importlib.import_module("detectron2.modeling.meta_arch.rcnn"),
         pascal_voc=importlib.import_module("detectron2.evaluation.pascal_voc_evaluation"),
         poolers=importlib.import_module("detectron2.modeling.poolers"),
+        postprocessing=importlib.import_module("detectron2.modeling.postprocessing"),
         proposal_utils=importlib.import_module(
             "detectron2.modeling.proposal_generator.proposal_utils"
         ),

@@ -311,6 +311,37 @@ def test_repeat_factors_match_reference(refmods, rng):
     np.testing.assert_allclose(ours, want, rtol=1e-6)
 
 
+# -------------------------------------------------- detector_postprocess
+def test_detector_postprocess_matches_reference(refmods, rng):
+    """detector_postprocess (modeling/postprocessing.py:9-59): scale to the
+    output resolution FIRST, then clip to it, then drop empty boxes — vs our
+    inline rescale in models/rcnn.py inference (scale -> clip; empties are
+    masked by validity rather than filtered)."""
+    from cddmsl_tpu.structures import boxes as box_ops
+
+    Boxes, Instances = refmods.boxes.Boxes, refmods.instances.Instances
+    in_h, in_w, out_h, out_w = 480, 640, 720, 1080
+    boxes = rng.uniform(0, 700, size=(12, 4)).astype(np.float32)
+    boxes[:, 2:] = boxes[:, :2] + rng.uniform(-2, 200, size=(12, 2))  # some empty
+
+    inst = Instances((in_h, in_w))
+    inst.pred_boxes = Boxes(torch.from_numpy(boxes.copy()))
+    inst.scores = torch.from_numpy(rng.rand(12).astype(np.float32))
+    out = refmods.postprocessing.detector_postprocess(inst, out_h, out_w)
+
+    sx, sy = out_w / in_w, out_h / in_h
+    ours = np.asarray(
+        box_ops.clip(
+            jnp.asarray(boxes) * jnp.asarray([sx, sy, sx, sy]), (out_h, out_w)
+        )
+    )
+    valid = (ours[:, 2] > ours[:, 0]) & (ours[:, 3] > ours[:, 1])
+    np.testing.assert_allclose(ours[valid], out.pred_boxes.tensor.numpy(), rtol=1e-6)
+    np.testing.assert_array_equal(
+        np.asarray(inst.scores)[valid], out.scores.numpy()
+    )
+
+
 # ---------------------------------------------------------- image batching
 def test_image_list_padding_matches_reference(refmods, rng):
     from cddmsl_tpu.structures.image_list import ImageList as OurImageList
