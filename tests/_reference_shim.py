@@ -202,6 +202,22 @@ def build_ref_pkg():
         )
         _fake_module("fvcore.nn.distributed", differentiable_all_reduce=lambda x: x)
 
+        # name-only bases for solver/lr_scheduler.py: the legacy torch
+        # schedulers under test (WarmupMultiStepLR/WarmupCosineLR) never
+        # touch these fvcore ParamScheduler classes
+        class _UnusedParamScheduler:
+            def __init__(self, *a, **k):
+                raise NotImplementedError("fvcore ParamScheduler shim: not under test")
+
+        _fake_module("fvcore.common")
+        _fake_module(
+            "fvcore.common.param_scheduler",
+            CompositeParamScheduler=_UnusedParamScheduler,
+            ConstantParamScheduler=_UnusedParamScheduler,
+            LinearParamScheduler=_UnusedParamScheduler,
+            ParamScheduler=_UnusedParamScheduler,
+        )
+
         wrappers_m = importlib.import_module("detectron2.layers.wrappers")
         sys.modules["detectron2.layers"].Conv2d = wrappers_m.Conv2d
         boxes_m = importlib.import_module("detectron2.structures.boxes")
@@ -236,6 +252,7 @@ def build_ref_pkg():
         sys.modules["detectron2.modeling.backbone"].Backbone = bb_base.Backbone
         sys.modules["detectron2.modeling.backbone"].build_backbone = None
         _fake_module("detectron2.data")
+        _fake_module("detectron2.solver", path=os.path.join(REF, "solver"))
         _fake_module("detectron2.data.samplers", path=os.path.join(REF, "data", "samplers"))
         _fake_module("detectron2.data.detection_utils", convert_image_to_rgb=None)
         _fake_module("detectron2.data.transforms")
@@ -306,6 +323,7 @@ def build_ref_pkg():
         pascal_voc=importlib.import_module("detectron2.evaluation.pascal_voc_evaluation"),
         poolers=importlib.import_module("detectron2.modeling.poolers"),
         postprocessing=importlib.import_module("detectron2.modeling.postprocessing"),
+        lr_scheduler=importlib.import_module("detectron2.solver.lr_scheduler"),
         proposal_utils=importlib.import_module(
             "detectron2.modeling.proposal_generator.proposal_utils"
         ),

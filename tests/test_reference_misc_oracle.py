@@ -342,6 +342,56 @@ def test_detector_postprocess_matches_reference(refmods, rng):
     )
 
 
+# -------------------------------------------------------------- LR schedule
+def test_lr_schedule_matches_reference(refmods):
+    """The reference's torch WarmupMultiStepLR / WarmupCosineLR
+    (solver/lr_scheduler.py:132-210, the schedulers behind every yaml
+    recipe) stepped through a real torch optimizer vs our
+    solver/build.py build_lr_schedule at every iteration — warmup ramp,
+    milestone boundaries (incl. a milestone INSIDE warmup) and the cosine
+    tail must agree exactly."""
+    from cddmsl_tpu.config import get_cfg
+    from cddmsl_tpu.solver.build import build_lr_schedule
+
+    def torch_lrs(sched_cls, n, **kw):
+        p = torch.nn.Parameter(torch.zeros(1))
+        opt = torch.optim.SGD([p], lr=0.02)
+        sched = sched_cls(opt, **kw)
+        out = []
+        for _ in range(n):
+            out.append(opt.param_groups[0]["lr"])
+            opt.step()
+            sched.step()
+        return np.asarray(out)
+
+    n = 30
+    cfg = get_cfg()
+    cfg.SOLVER.BASE_LR = 0.02
+    cfg.SOLVER.WARMUP_ITERS = 5
+    cfg.SOLVER.WARMUP_FACTOR = 0.001
+    cfg.SOLVER.STEPS = (3, 12, 16)  # 3 lands inside warmup
+    cfg.SOLVER.GAMMA = 0.1
+    cfg.SOLVER.MAX_ITER = n
+    cfg.SOLVER.LR_SCHEDULER_NAME = "WarmupMultiStepLR"
+
+    want = torch_lrs(
+        refmods.lr_scheduler.WarmupMultiStepLR, n,
+        milestones=[3, 12, 16], gamma=0.1, warmup_factor=0.001, warmup_iters=5,
+    )
+    ours = np.asarray([float(build_lr_schedule(cfg)(i)) for i in range(n)])
+    np.testing.assert_allclose(ours, want, rtol=1e-6)
+
+    cfg.SOLVER.LR_SCHEDULER_NAME = "WarmupCosineLR"
+    want = torch_lrs(
+        refmods.lr_scheduler.WarmupCosineLR, n,
+        max_iters=n, warmup_factor=0.001, warmup_iters=5,
+    )
+    ours = np.asarray([float(build_lr_schedule(cfg)(i)) for i in range(n)])
+    # our schedule evaluates jnp.cos in float32 on device; the reference is
+    # float64 math.cos — rtol reflects f32 ulp, not a semantic difference
+    np.testing.assert_allclose(ours, want, rtol=1e-5)
+
+
 # ---------------------------------------------------------- image batching
 def test_image_list_padding_matches_reference(refmods, rng):
     from cddmsl_tpu.structures.image_list import ImageList as OurImageList
