@@ -27,6 +27,8 @@ def add_ateacher_config(cfg: CfgNode) -> None:
     _C.TEST.EVALUATOR = "COCOeval"
 
     _C.SEMISUPNET = CfgNode()
+    # output dim of the MLP projector after res5 (reference config.py:36)
+    _C.SEMISUPNET.MLP_DIM = 128
     # NOTE: the reference defaults this to "ateacher" (config.py:20) but its
     # train_net.py never dispatches on it for the CDDMSL runs; here "default"
     # selects DefaultTrainer and mean-teacher configs opt in explicitly.

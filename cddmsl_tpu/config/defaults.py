@@ -32,7 +32,11 @@ def get_default_cfg() -> CfgNode:
     _C.MODEL.PIXEL_MEAN = [103.530, 116.280, 123.675]
     _C.MODEL.PIXEL_STD = [1.0, 1.0, 1.0]
     # CDDMSL additions (reference defaults.py:30-32)
-    _C.MODEL.KD_REGULRAZIATION = False  # (sic) reference key name kept for config compat
+    # (sic) reference key name kept for config compat; default True matches
+    # reference defaults.py:30 — the AdverseWeather DG recipe trains with the
+    # L1 KD term ON (its yaml sets it explicitly; the baseline yaml relies on
+    # this default)
+    _C.MODEL.KD_REGULRAZIATION = True
     _C.MODEL.PRE_TRAINED_RCLIP_PATH = ""
     _C.MODEL.VISION_TO_LANG_PATH = ""
     # Alternative consistency branches (reference rcnn.py:471-591 forward()
@@ -91,6 +95,8 @@ def get_default_cfg() -> CfgNode:
     _C.MODEL.RETINANET.FOCAL_LOSS_GAMMA = 2.0
     _C.MODEL.RETINANET.FOCAL_LOSS_ALPHA = 0.25
     _C.MODEL.RETINANET.SMOOTH_L1_LOSS_BETA = 0.1
+    _C.MODEL.RETINANET.BBOX_REG_LOSS_TYPE = "smooth_l1"  # or "giou"
+    _C.MODEL.RETINANET.NORM = ""  # head-conv norm ("" | "GN")
 
     # ---------------- MODEL.ANCHOR_GENERATOR ----------------
     _C.MODEL.ANCHOR_GENERATOR = CfgNode()
@@ -168,6 +174,8 @@ def get_default_cfg() -> CfgNode:
     _C.MODEL.SEM_SEG_HEAD.CONVS_DIM = 128
     _C.MODEL.SEM_SEG_HEAD.COMMON_STRIDE = 4
     _C.MODEL.SEM_SEG_HEAD.LOSS_WEIGHT = 1.0
+    _C.MODEL.SEM_SEG_HEAD.IN_FEATURES = ["p2", "p3", "p4", "p5"]
+    _C.MODEL.SEM_SEG_HEAD.NORM = "GN"
     _C.MODEL.PANOPTIC_FPN = CfgNode()
     _C.MODEL.PANOPTIC_FPN.INSTANCE_LOSS_WEIGHT = 1.0
     _C.MODEL.PANOPTIC_FPN.COMBINE = CfgNode()
@@ -205,6 +213,11 @@ def get_default_cfg() -> CfgNode:
     _C.MODEL.ROI_KEYPOINT_HEAD.NUM_KEYPOINTS = 17  # COCO person
     _C.MODEL.ROI_KEYPOINT_HEAD.LOSS_WEIGHT = 1.0
     _C.MODEL.ROI_KEYPOINT_HEAD.POOLER_TYPE = "ROIAlignV2"
+    # train-time dataset filter: drop images with fewer visible keypoints
+    _C.MODEL.ROI_KEYPOINT_HEAD.MIN_KEYPOINTS_PER_IMAGE = 1
+    # True: CE normalizer = #visible keypoints in the batch (reference
+    # roi_heads/keypoint_head.py keypoint_rcnn_loss)
+    _C.MODEL.ROI_KEYPOINT_HEAD.NORMALIZE_LOSS_BY_VISIBLE_KEYPOINTS = True
 
     # ---------------- MODEL.CLIP (reference defaults.py:195-238) ----------------
     _C.MODEL.CLIP = CfgNode()
@@ -233,6 +246,9 @@ def get_default_cfg() -> CfgNode:
     _C.MODEL.CLIP.CONCEPT_POOL_EMB = None
     _C.MODEL.CLIP.CONCEPT_THRES = None
     _C.MODEL.CLIP.OFFLINE_RPN_LSJ_PRETRAINED = False
+    _C.MODEL.CLIP.VIS = False  # visualization mode (reference clip_rcnn.py)
+    _C.MODEL.CLIP.GET_CONCEPT_EMB = False  # concept-embedding extraction mode
+    _C.MODEL.CLIP.OFFLINE_RPN_POST_NMS_TOPK_TEST = None
     # pretraining text tower (reference clip_backbone.py:732-814 dims)
     _C.MODEL.CLIP.PRETRAIN_NUM_CONCEPTS = 1000
     _C.MODEL.CLIP.TEXT_VOCAB_SIZE = 49408
@@ -267,6 +283,7 @@ def get_default_cfg() -> CfgNode:
     _C.INPUT.CROP.SIZE = [0.9, 0.9]
     _C.INPUT.FORMAT = "BGR"
     _C.INPUT.MASK_FORMAT = "polygon"
+    _C.INPUT.TEXT_TOKENIZER = "openai_bpe"  # RegionCLIP pretrain tokenizer
 
     # ---------------- DATASETS ----------------
     _C.DATASETS = CfgNode()
@@ -276,6 +293,27 @@ def get_default_cfg() -> CfgNode:
     _C.DATASETS.PROPOSAL_FILES_TEST = ()
     _C.DATASETS.PRECOMPUTED_PROPOSAL_TOPK_TRAIN = 2000
     _C.DATASETS.PRECOMPUTED_PROPOSAL_TOPK_TEST = 1000
+    # RegionCLIP TSV/factory dataset surface (reference defaults.py; consumed
+    # by data/clip_datasets.py for image-text TSV pretraining — the factory
+    # indirection itself is flattened into build.py's catalog dispatch)
+    _C.DATASETS.FACTORY_TRAIN = ()
+    _C.DATASETS.PATH_TRAIN = ()
+    _C.DATASETS.AUX = ()
+    _C.DATASETS.FACTORY_AUX = ()
+    _C.DATASETS.PATH_AUX = ()
+    _C.DATASETS.FACTORY_TEST = ()
+    _C.DATASETS.PATH_TEST = ()
+    _C.DATASETS.LABELMAP_FILE = ""
+    _C.DATASETS.ATTR_LABELMAP_FILE = ""
+    _C.DATASETS.FILTERED_CLASSIFICATION_DATASETS = ""
+    _C.DATASETS.HIERARCHY_FILE = ""
+    _C.DATASETS.BOX_EXTRA_FIELDS = ()
+    _C.DATASETS.NUM_CLASSES = 0
+    _C.DATASETS.ROOT = ""
+    _C.DATASETS.TRAIN_SET = "train"
+    _C.DATASETS.VAL_SET = ""
+    _C.DATASETS.TEST_SET = "val"
+    _C.DATASETS.MAX_SEQ_LENGTH = 35
     # semi-supervised (add_ateacher_config merges TRAIN_LABEL/TRAIN_UNLABEL)
 
     # ---------------- DATALOADER ----------------
@@ -294,7 +332,10 @@ def get_default_cfg() -> CfgNode:
     _C.SOLVER.NESTEROV = False
     _C.SOLVER.WEIGHT_DECAY = 0.0001
     _C.SOLVER.WEIGHT_DECAY_NORM = 0.0
-    _C.SOLVER.WEIGHT_DECAY_BIAS = None
+    # reference defaults.py value; build_optimizer applies uniform WD, which
+    # is exactly the reference behavior whenever WEIGHT_DECAY_BIAS ==
+    # WEIGHT_DECAY (as here) — a differing value logs a warning
+    _C.SOLVER.WEIGHT_DECAY_BIAS = 0.0001
     _C.SOLVER.GAMMA = 0.1
     _C.SOLVER.STEPS = (30000,)
     _C.SOLVER.MAX_ITER = 40000
@@ -302,7 +343,7 @@ def get_default_cfg() -> CfgNode:
     _C.SOLVER.WARMUP_ITERS = 1000
     _C.SOLVER.WARMUP_METHOD = "linear"
     _C.SOLVER.LR_SCHEDULER_NAME = "WarmupMultiStepLR"
-    _C.SOLVER.CHECKPOINT_PERIOD = 5000
+    _C.SOLVER.CHECKPOINT_PERIOD = 1000  # reference (CDDMSL fork) default
     # keep at most this many periodic checkpoints on disk (0 = unlimited);
     # the final model_final save is never GC'd
     _C.SOLVER.CHECKPOINT_MAX_TO_KEEP = 0
@@ -314,7 +355,7 @@ def get_default_cfg() -> CfgNode:
     _C.SOLVER.REFERENCE_WORLD_SIZE = 0
     _C.SOLVER.CLIP_GRADIENTS = CfgNode()
     _C.SOLVER.CLIP_GRADIENTS.ENABLED = False
-    _C.SOLVER.CLIP_GRADIENTS.CLIP_TYPE = "norm"
+    _C.SOLVER.CLIP_GRADIENTS.CLIP_TYPE = "value"  # reference default ("value" | "norm")
     _C.SOLVER.CLIP_GRADIENTS.CLIP_VALUE = 1.0
     _C.SOLVER.CLIP_GRADIENTS.NORM_TYPE = 2.0
     _C.SOLVER.AMP = CfgNode()
@@ -328,6 +369,7 @@ def get_default_cfg() -> CfgNode:
     _C.TEST.EVAL_PERIOD = 0
     _C.TEST.EXPECTED_RESULTS = []
     _C.TEST.DETECTIONS_PER_IMAGE = 100
+    _C.TEST.KEYPOINT_OKS_SIGMAS = []  # override metadata sigmas when set
     _C.TEST.AUG = CfgNode()
     _C.TEST.AUG.ENABLED = False
     _C.TEST.AUG.MIN_SIZES = (400, 500, 600, 700, 800, 900, 1000, 1100, 1200)
@@ -336,6 +378,46 @@ def get_default_cfg() -> CfgNode:
     _C.TEST.PRECISE_BN = CfgNode()
     _C.TEST.PRECISE_BN.ENABLED = False
     _C.TEST.PRECISE_BN.NUM_ITER = 200
+
+    # ---------------- AUG (RegionCLIP pretrain augmentation surface) -------
+    # reference defaults.py _C.AUG: classification-style augmentation for the
+    # image-text pretraining pipeline. SimCLR-family knobs (SCALE/RATIO/
+    # COLOR_JITTER/GRAY_SCALE/GAUSSIAN_BLUR) are realized by
+    # data/transforms.py build_strong_augmentation_fn; the timm/mixup entries
+    # are config-surface kept for checkpoint/recipe compat (USE_TIMM defaults
+    # off in the reference too, and timm is not a dependency here).
+    _C.AUG = CfgNode()
+    _C.AUG.SCALE = (0.08, 1.0)
+    _C.AUG.RATIO = (3.0 / 4.0, 4.0 / 3.0)
+    _C.AUG.COLOR_JITTER = [0.4, 0.4, 0.4, 0.1, 0.0]
+    _C.AUG.GRAY_SCALE = 0.0
+    _C.AUG.GAUSSIAN_BLUR = 0.0
+    _C.AUG.DROPBLOCK_LAYERS = [3, 4]
+    _C.AUG.DROPBLOCK_KEEP_PROB = 1.0
+    _C.AUG.DROPBLOCK_BLOCK_SIZE = 7
+    _C.AUG.MIXUP_PROB = 0.0
+    _C.AUG.MIXUP = 0.0
+    _C.AUG.MIXCUT = 0.0
+    _C.AUG.MIXCUT_MINMAX = []
+    _C.AUG.MIXUP_SWITCH_PROB = 0.5
+    _C.AUG.MIXUP_MODE = "batch"
+    _C.AUG.MIXCUT_AND_MIXUP = False
+    _C.AUG.INTERPOLATION = 3
+    _C.AUG.USE_TIMM = False
+    _C.AUG.TIMM_AUG = CfgNode()
+    _C.AUG.TIMM_AUG.USE_LOADER = False
+    _C.AUG.TIMM_AUG.USE_TRANSFORM = False
+    _C.AUG.TRAIN = CfgNode()
+    _C.AUG.TRAIN.IMAGE_SIZE = [224, 224]
+    _C.AUG.TRAIN.MAX_SIZE = None
+    _C.AUG.TEST = CfgNode()
+    _C.AUG.TEST.IMAGE_SIZE = [224, 224]
+    _C.AUG.TEST.MAX_SIZE = None
+    _C.AUG.TEST.CENTER_CROP = False
+    _C.AUG.TEST.INTERPOLATION = 3
+
+    # visualize_test.py input directory (reference defaults.py INPUT_DIR)
+    _C.INPUT_DIR = "./datasets/custom_images"
 
     # ---------------- TPU-native additions ----------------
     _C.TPU = CfgNode()

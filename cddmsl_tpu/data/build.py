@@ -51,6 +51,23 @@ def get_detection_dataset_dicts(names: Sequence[str], filter_empty: bool = True)
     return dicts
 
 
+def filter_images_with_few_keypoints(dicts: List[dict], min_kp: int) -> List[dict]:
+    """Drop train images with < min_kp visible keypoints (reference
+    build.py:72 filter_images_with_few_keypoints; applied when
+    MODEL.KEYPOINT_ON and ROI_KEYPOINT_HEAD.MIN_KEYPOINTS_PER_IMAGE > 0)."""
+
+    def visible(d):
+        return sum(
+            int((np.asarray(a["keypoints"][2::3]) > 0).sum())
+            for a in d.get("annotations", [])
+            if "keypoints" in a
+        )
+
+    out = [d for d in dicts if visible(d) >= min_kp]
+    assert out, "all images were filtered by MIN_KEYPOINTS_PER_IMAGE"
+    return out
+
+
 # ---------------- samplers ----------------
 def _process_block(samples: List):
     """This process's contiguous row-block of a global batch (multi-host).
@@ -338,6 +355,9 @@ def build_detection_train_loader(
     dicts = get_detection_dataset_dicts(
         cfg.DATASETS.TRAIN, cfg.DATALOADER.FILTER_EMPTY_ANNOTATIONS
     )
+    min_kp = cfg.MODEL.ROI_KEYPOINT_HEAD.MIN_KEYPOINTS_PER_IMAGE
+    if cfg.MODEL.KEYPOINT_ON and min_kp > 0:
+        dicts = filter_images_with_few_keypoints(dicts, min_kp)
     if cfg.MODEL.LOAD_PROPOSALS and cfg.DATASETS.PROPOSAL_FILES_TRAIN:
         from .proposals import load_proposals_into_dataset
 

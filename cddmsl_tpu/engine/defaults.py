@@ -154,7 +154,10 @@ def build_evaluator(cfg, dataset_name: str):
             if cfg.OUTPUT_DIR
             else None
         )
-        return COCOEvaluator(dataset_name, tasks=tasks, output_json=out_json)
+        return COCOEvaluator(
+            dataset_name, tasks=tasks, output_json=out_json,
+            kpt_oks_sigmas=(list(cfg.TEST.KEYPOINT_OKS_SIGMAS) or None),
+        )
     if ev_type == "lvis":
         from ..evaluation.lvis_eval import LVISEvaluator
 

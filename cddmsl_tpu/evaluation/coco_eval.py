@@ -178,17 +178,21 @@ class COCOEvaluator:
         return None
 
     def __init__(self, dataset_name: str, tasks: Sequence[str] = ("bbox",),
-                 output_json: Optional[str] = None):
+                 output_json: Optional[str] = None, kpt_oks_sigmas=None):
         meta = MetadataCatalog.get(dataset_name)
         classes = meta.get("thing_classes")
         self.num_classes = len(classes) if classes else 80
         self.class_names = classes
         self.tasks = tuple(tasks)
         self.output_json = output_json
-        # keypoints task: OKS sigmas from metadata (reference
-        # coco_evaluation.py:188-309 keypoints branch + kpt_oks_sigmas)
-        sig = meta.get("keypoint_oks_sigmas")
-        self.kpt_oks_sigmas = np.asarray(sig) if sig is not None else COCO_PERSON_SIGMAS
+        # keypoints task: OKS sigmas — explicit arg (TEST.KEYPOINT_OKS_SIGMAS)
+        # overrides metadata (reference coco_evaluation.py:108 kpt_oks_sigmas
+        # param + :188-309 keypoints branch)
+        if kpt_oks_sigmas is None:
+            kpt_oks_sigmas = meta.get("keypoint_oks_sigmas")
+        self.kpt_oks_sigmas = (
+            np.asarray(kpt_oks_sigmas) if kpt_oks_sigmas is not None else COCO_PERSON_SIGMAS
+        )
         self.reset()
 
     def reset(self):

@@ -86,6 +86,14 @@ def build_generalized_rcnn(cfg) -> GeneralizedRCNN:
         keypoint_on=cfg.MODEL.KEYPOINT_ON,
         num_keypoints=cfg.MODEL.ROI_KEYPOINT_HEAD.NUM_KEYPOINTS,
         keypoint_conv_dims=tuple(cfg.MODEL.ROI_KEYPOINT_HEAD.CONV_DIMS),
+        keypoint_loss_weight=cfg.MODEL.ROI_KEYPOINT_HEAD.LOSS_WEIGHT,
+        keypoint_loss_normalizer=(
+            -1.0
+            if cfg.MODEL.ROI_KEYPOINT_HEAD.NORMALIZE_LOSS_BY_VISIBLE_KEYPOINTS
+            else cfg.MODEL.ROI_KEYPOINT_HEAD.NUM_KEYPOINTS
+            * cfg.MODEL.ROI_HEADS.BATCH_SIZE_PER_IMAGE
+            * cfg.MODEL.ROI_HEADS.POSITIVE_FRACTION
+        ),
         no_box_delta=cfg.MODEL.CLIP.NO_BOX_DELTA,
         multiply_rpn_score=cfg.MODEL.CLIP.MULTIPLY_RPN_SCORE,
         soft_nms_enabled=cfg.MODEL.ROI_HEADS.SOFT_NMS_ENABLED,
@@ -159,6 +167,14 @@ def build_fpn_rcnn(cfg):
         keypoint_on=cfg.MODEL.KEYPOINT_ON,
         num_keypoints=cfg.MODEL.ROI_KEYPOINT_HEAD.NUM_KEYPOINTS,
         keypoint_conv_dims=tuple(cfg.MODEL.ROI_KEYPOINT_HEAD.CONV_DIMS),
+        keypoint_loss_weight=cfg.MODEL.ROI_KEYPOINT_HEAD.LOSS_WEIGHT,
+        keypoint_loss_normalizer=(
+            -1.0
+            if cfg.MODEL.ROI_KEYPOINT_HEAD.NORMALIZE_LOSS_BY_VISIBLE_KEYPOINTS
+            else cfg.MODEL.ROI_KEYPOINT_HEAD.NUM_KEYPOINTS
+            * cfg.MODEL.ROI_HEADS.BATCH_SIZE_PER_IMAGE
+            * cfg.MODEL.ROI_HEADS.POSITIVE_FRACTION
+        ),
         use_text_emb=cfg.MODEL.CLIP.USE_TEXT_EMB_CLASSIFIER,
         temperature=cfg.MODEL.CLIP.CLSS_TEMP,
         pixel_mean=tuple(cfg.MODEL.PIXEL_MEAN),
@@ -207,6 +223,8 @@ def build_retinanet(cfg):
         focal_alpha=r.FOCAL_LOSS_ALPHA,
         focal_gamma=r.FOCAL_LOSS_GAMMA,
         smooth_l1_beta=r.SMOOTH_L1_LOSS_BETA,
+        box_reg_loss_type=r.BBOX_REG_LOSS_TYPE,
+        head_norm=r.NORM,
         score_thresh=r.SCORE_THRESH_TEST,
         nms_thresh=r.NMS_THRESH_TEST,
         topk_candidates=r.TOPK_CANDIDATES_TEST,
@@ -286,6 +304,7 @@ def build_panoptic_fpn(cfg):
         depth=cfg.MODEL.RESNETS.DEPTH,
         instance_loss_weight=cfg.MODEL.PANOPTIC_FPN.INSTANCE_LOSS_WEIGHT,
         sem_seg_loss_weight=cfg.MODEL.SEM_SEG_HEAD.LOSS_WEIGHT,
+        sem_seg_norm=cfg.MODEL.SEM_SEG_HEAD.NORM,
         # Misc/panoptic_fpn_R_101_dconv_cascade_gn_3x: GN backbone/FPN,
         # DCN on res3-res5, CascadeROIHeads
         backbone_norm=cfg.MODEL.RESNETS.NORM,
@@ -386,6 +405,8 @@ def build_semantic_segmentor(cfg):
         num_classes=cfg.MODEL.SEM_SEG_HEAD.NUM_CLASSES,
         depth=cfg.MODEL.RESNETS.DEPTH,
         ignore_value=cfg.MODEL.SEM_SEG_HEAD.IGNORE_VALUE,
+        in_features=tuple(cfg.MODEL.SEM_SEG_HEAD.IN_FEATURES),
+        head_norm=cfg.MODEL.SEM_SEG_HEAD.NORM,
         pixel_mean=tuple(cfg.MODEL.PIXEL_MEAN),
         pixel_std=tuple(cfg.MODEL.PIXEL_STD),
         dtype=_dtype(cfg),

@@ -155,26 +155,31 @@ class SemSegFPNHead(nn.Module):
     conv_dim: int = 128
     common_stride: int = 4
     strides: Sequence[int] = (4, 8, 16, 32)
+    norm: str = ""  # MODEL.SEM_SEG_HEAD.NORM ("" | "GN"); reference default GN
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, features: Sequence[jnp.ndarray]) -> jnp.ndarray:
+        from .backbone.batch_norm import GroupNorm32
+
+        def block(x, i, u):
+            x = nn.Conv(self.conv_dim, (3, 3), padding=1, use_bias=(self.norm == ""),
+                        dtype=self.dtype, param_dtype=jnp.float32,
+                        name=f"head_{i}_conv{u}")(x)
+            if self.norm == "GN":
+                x = GroupNorm32(self.conv_dim, dtype=self.dtype, name=f"head_{i}_gn{u}")(x)
+            return nn.relu(x)
+
         out = None
         for i, (f, stride) in enumerate(zip(features, self.strides)):
             x = f.astype(self.dtype)
             n_up = (stride // self.common_stride).bit_length() - 1  # log2
-            x = nn.relu(
-                nn.Conv(self.conv_dim, (3, 3), padding=1, dtype=self.dtype,
-                        param_dtype=jnp.float32, name=f"head_{i}_conv0")(x)
-            )
+            x = block(x, i, 0)
             for u in range(n_up):
                 b, h, w, c = x.shape
                 x = jax.image.resize(x, (b, h * 2, w * 2, c), method="bilinear")
                 if u < n_up - 1:
-                    x = nn.relu(
-                        nn.Conv(self.conv_dim, (3, 3), padding=1, dtype=self.dtype,
-                                param_dtype=jnp.float32, name=f"head_{i}_conv{u+1}")(x)
-                    )
+                    x = block(x, i, u + 1)
             out = x if out is None else out + x
         return nn.Conv(self.num_classes, (1, 1), dtype=self.dtype, param_dtype=jnp.float32, name="predictor")(out).astype(jnp.float32)
 
@@ -186,6 +191,8 @@ class SemanticSegmentor(nn.Module):
     num_classes: int = 54
     depth: int = 50
     ignore_value: int = 255
+    in_features: Sequence[str] = ("p2", "p3", "p4", "p5")  # SEM_SEG_HEAD.IN_FEATURES
+    head_norm: str = ""  # SEM_SEG_HEAD.NORM
     pixel_mean: Sequence[float] = (103.53, 116.28, 123.675)
     pixel_std: Sequence[float] = (1.0, 1.0, 1.0)
     dtype: Any = jnp.float32
@@ -193,14 +200,20 @@ class SemanticSegmentor(nn.Module):
     def setup(self):
         self.backbone = D2ResNet(depth=self.depth, out_features=("res2", "res3", "res4", "res5"), dtype=self.dtype)
         self.fpn = FPN(in_features=("res2", "res3", "res4", "res5"), top_block_p6=False, dtype=self.dtype)
-        self.sem_seg_head = SemSegFPNHead(num_classes=self.num_classes, dtype=self.dtype)
+        strides = {"p2": 4, "p3": 8, "p4": 16, "p5": 32}
+        self.sem_seg_head = SemSegFPNHead(
+            num_classes=self.num_classes,
+            strides=tuple(strides[f] for f in self.in_features),
+            norm=self.head_norm,
+            dtype=self.dtype,
+        )
 
     def _forward_logits(self, images: jnp.ndarray) -> jnp.ndarray:
         mean = jnp.asarray(self.pixel_mean, jnp.float32)
         std = jnp.asarray(self.pixel_std, jnp.float32)
         x = ((images - mean) / std).astype(self.dtype)
         feats = self.fpn(self.backbone(x))
-        levels = [feats[k] for k in sorted(feats.keys())]
+        levels = [feats[k] for k in self.in_features]
         logits = self.sem_seg_head(levels)
         b, h, w, c = logits.shape
         H, W = images.shape[1], images.shape[2]

@@ -56,6 +56,8 @@ class FPNRCNN(nn.Module):
     keypoint_on: bool = False
     num_keypoints: int = 17
     keypoint_conv_dims: Sequence[int] = (512,) * 8
+    keypoint_loss_weight: float = 1.0
+    keypoint_loss_normalizer: float = -1.0  # <=0 = by-visible (see roi_heads)
     use_text_emb: bool = False
     emb_dim: int = 1024
     temperature: float = 0.01
@@ -235,6 +237,8 @@ class FPNRCNN(nn.Module):
             keypoint_on=self.keypoint_on,
             num_keypoints=self.num_keypoints,
             keypoint_conv_dims=tuple(self.keypoint_conv_dims),
+            keypoint_loss_weight=self.keypoint_loss_weight,
+            keypoint_loss_normalizer=self.keypoint_loss_normalizer,
             dtype=self.dtype,
         )
 

@@ -49,14 +49,23 @@ def keypoint_rcnn_loss(
     heatmaps: jnp.ndarray,  # (N, S, S, K) logits
     kp_positions: jnp.ndarray,  # (N, K) int flat target index in S*S
     kp_visible: jnp.ndarray,  # (N, K) bool
+    normalizer: float = None,
 ) -> jnp.ndarray:
+    """CE over flattened heatmap positions of visible keypoints (reference
+    keypoint_head.py keypoint_rcnn_loss:40-96). `normalizer=None` divides by
+    the visible count (the NORMALIZE_LOSS_BY_VISIBLE_KEYPOINTS=True path);
+    a float divides by that amount instead (reference passes
+    num_images * loss_normalizer)."""
     n, s, _, k = heatmaps.shape
     flat = heatmaps.reshape(n, s * s, k)
     lp = jax.nn.log_softmax(flat, axis=1)
     tgt = jnp.clip(kp_positions, 0, s * s - 1)
     nll = -jnp.take_along_axis(lp, tgt[:, None, :], axis=1)[:, 0, :]
     m = kp_visible.astype(jnp.float32)
-    return jnp.sum(nll * m) / jnp.maximum(jnp.sum(m), 1.0)
+    total = jnp.sum(nll * m)
+    if normalizer is None:
+        return total / jnp.maximum(jnp.sum(m), 1.0)
+    return total / jnp.maximum(jnp.asarray(normalizer, jnp.float32), 1.0)
 
 
 class KeypointROIHeads(nn.Module):
@@ -71,6 +80,11 @@ class KeypointROIHeads(nn.Module):
     pooler_scale: float = 1.0 / 16
     conv_dims: Sequence[int] = (512,) * 8
     dtype: Any = jnp.float32
+    loss_weight: float = 1.0  # ROI_KEYPOINT_HEAD.LOSS_WEIGHT
+    # <=0: divide by visible-keypoint count (NORMALIZE_LOSS_BY_VISIBLE=True);
+    # >0: divide by num_images * this (reference from_config passes
+    # num_keypoints * batch_size_per_image * positive_fraction)
+    loss_normalizer: float = -1.0
 
     def setup(self):
         self.keypoint_head = KRCNNConvDeconvUpsampleHead(
@@ -123,7 +137,10 @@ class KeypointROIHeads(nn.Module):
             gt_keypoints.reshape(b * s, self.num_keypoints, 3), boxes.reshape(b * s, 4), size
         )
         vis = vis & fg_valid.reshape(b * s)[:, None]
-        return {"loss_keypoint": keypoint_rcnn_loss(heat, pos, vis)}
+        norm = None if self.loss_normalizer <= 0 else b * self.loss_normalizer
+        return {
+            "loss_keypoint": self.loss_weight * keypoint_rcnn_loss(heat, pos, vis, norm)
+        }
 
     def inference(self, features, boxes):
         """boxes (B,D,4) -> (B, D, K, 3) decoded (x, y, score)."""

@@ -32,6 +32,7 @@ class PanopticFPN(nn.Module):
     # localization)
     backbone_norm: str = "FrozenBN"
     fpn_norm: str = ""
+    sem_seg_norm: str = ""  # MODEL.SEM_SEG_HEAD.NORM
     stride_in_1x1: bool = True
     deform_on_per_stage: Sequence[bool] = (False, False, False, False)
     deform_modulated: bool = False
@@ -86,7 +87,9 @@ class PanopticFPN(nn.Module):
                 mask_canvas_stride=self.mask_canvas_stride,
                 dtype=self.dtype,
             )
-        self.sem_seg_head = SemSegFPNHead(num_classes=self.sem_seg_classes, dtype=self.dtype)
+        self.sem_seg_head = SemSegFPNHead(
+            num_classes=self.sem_seg_classes, norm=self.sem_seg_norm, dtype=self.dtype
+        )
 
     def _norm(self, images):
         mean = jnp.asarray(self.pixel_mean, jnp.float32)

@@ -130,6 +130,8 @@ class GeneralizedRCNN(nn.Module):
     keypoint_on: bool = False
     num_keypoints: int = 17
     keypoint_conv_dims: Sequence[int] = (512,) * 8
+    keypoint_loss_weight: float = 1.0
+    keypoint_loss_normalizer: float = -1.0  # <=0 = by-visible (see roi_heads)
     # inference options (reference fast_rcnn.py:466-527)
     no_box_delta: bool = False
     multiply_rpn_score: bool = False
@@ -230,6 +232,8 @@ class GeneralizedRCNN(nn.Module):
             keypoint_on=self.keypoint_on,
             num_keypoints=self.num_keypoints,
             keypoint_conv_dims=tuple(self.keypoint_conv_dims),
+            keypoint_loss_weight=self.keypoint_loss_weight,
+            keypoint_loss_normalizer=self.keypoint_loss_normalizer,
             no_box_delta=self.no_box_delta,
             multiply_rpn_score=self.multiply_rpn_score,
             soft_nms_enabled=self.soft_nms_enabled,

@@ -29,6 +29,7 @@ class RetinaNetHead(nn.Module):
     num_anchors: int
     conv_dims: Sequence[int] = (256, 256, 256, 256)
     prior_prob: float = 0.01
+    norm: str = ""  # MODEL.RETINANET.NORM ("" | "GN"), conv->norm->relu
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -49,15 +50,28 @@ class RetinaNetHead(nn.Module):
         bbox_pred = nn.Conv(
             self.num_anchors * 4, (3, 3), padding=1, dtype=self.dtype, param_dtype=jnp.float32, name="bbox_pred",
         )
+        def _gn(i, tower):
+            from .backbone.batch_norm import GroupNorm32
+
+            return GroupNorm32(
+                self.conv_dims[i], dtype=self.dtype, name=f"{tower}_gn{i}"
+            )
+
         logits, deltas = [], []
         for f in features:
             c = f
-            for conv in cls_convs:
-                c = nn.relu(conv(c))
+            for i, conv in enumerate(cls_convs):
+                c = conv(c)
+                if self.norm == "GN":
+                    c = _gn(i, "cls")(c)
+                c = nn.relu(c)
             logits.append(cls_score(c))
             b = f
-            for conv in box_convs:
-                b = nn.relu(conv(b))
+            for i, conv in enumerate(box_convs):
+                b = conv(b)
+                if self.norm == "GN":
+                    b = _gn(i, "box")(b)
+                b = nn.relu(b)
             deltas.append(bbox_pred(b))
         return logits, deltas
 
@@ -78,6 +92,8 @@ class RetinaNet(nn.Module):
     focal_alpha: float = 0.25
     focal_gamma: float = 2.0
     smooth_l1_beta: float = 0.1
+    box_reg_loss_type: str = "smooth_l1"  # MODEL.RETINANET.BBOX_REG_LOSS_TYPE
+    head_norm: str = ""  # MODEL.RETINANET.NORM
     # reference retinanet.py:154-155 — losses are normalized by an EMA of
     # the per-step foreground-anchor count (init 100, momentum 0.9), carried
     # here as a 'batch_stats' variable the train step threads through
@@ -111,6 +127,7 @@ class RetinaNet(nn.Module):
             num_anchors=len(self.anchor_sizes[0]) * len(self.aspect_ratios),
             conv_dims=tuple(self.head_conv_dims) if self.head_conv_dims
             else (self.fpn_out_channels,) * 4,
+            norm=self.head_norm,
             dtype=self.dtype,
         )
         self.box2box = Box2BoxTransform((1.0, 1.0, 1.0, 1.0))
@@ -165,8 +182,14 @@ class RetinaNet(nn.Module):
             alpha_t = self.focal_alpha * onehot + (1 - self.focal_alpha) * (1 - onehot)
             focal = alpha_t * ((1 - p_t) ** self.focal_gamma) * ce
             cls_loss = jnp.sum(focal * valid[:, None])
-            gt_deltas = self.box2box.get_deltas(anchors, gtb[matched_idxs])
-            reg = jnp.sum(smooth_l1(delta, gt_deltas, self.smooth_l1_beta) * fg[:, None])
+            if self.box_reg_loss_type == "giou":
+                # reference _dense_box_regression_loss giou path: decode the
+                # predicted deltas against the anchors, 1 - GIoU vs matched GT
+                pred = self.box2box.apply_deltas(delta, anchors)
+                reg = jnp.sum((1.0 - box_ops.pairwise_giou(pred, gtb[matched_idxs])) * fg)
+            else:
+                gt_deltas = self.box2box.get_deltas(anchors, gtb[matched_idxs])
+                reg = jnp.sum(smooth_l1(delta, gt_deltas, self.smooth_l1_beta) * fg[:, None])
             return cls_loss, reg, jnp.sum(fg)
 
         cls, reg, nfg = jax.vmap(per_image)(logits, deltas, batch.gt_boxes, batch.gt_classes, batch.gt_valid)

@@ -81,6 +81,10 @@ class CLIPRes5ROIHeads(nn.Module):
     keypoint_on: bool = False
     num_keypoints: int = 17
     keypoint_conv_dims: Sequence[int] = (512,) * 8
+    keypoint_loss_weight: float = 1.0  # ROI_KEYPOINT_HEAD.LOSS_WEIGHT
+    # <=0 = normalize by visible count (NORMALIZE_LOSS_BY_VISIBLE_KEYPOINTS);
+    # >0 = reference's num_keypoints*batch_size_per_image*positive_fraction
+    keypoint_loss_normalizer: float = -1.0
     # inference options (reference fast_rcnn.py:466-527, plumbed from
     # MODEL.CLIP.* / MODEL.ROI_HEADS.SOFT_NMS_*)
     no_box_delta: bool = False
@@ -117,6 +121,8 @@ class CLIPRes5ROIHeads(nn.Module):
                 pooler_scale=self.pooler_scale,
                 conv_dims=tuple(self.keypoint_conv_dims),
                 dtype=self.dtype,
+                loss_weight=self.keypoint_loss_weight,
+                loss_normalizer=self.keypoint_loss_normalizer,
             )
 
     # ---------- sampling ----------
@@ -370,6 +376,10 @@ class CLIPStandardROIHeads(nn.Module):
     keypoint_on: bool = False
     num_keypoints: int = 17
     keypoint_conv_dims: Sequence[int] = (512,) * 8
+    keypoint_loss_weight: float = 1.0  # ROI_KEYPOINT_HEAD.LOSS_WEIGHT
+    # <=0 = normalize by visible count (NORMALIZE_LOSS_BY_VISIBLE_KEYPOINTS);
+    # >0 = reference's num_keypoints*batch_size_per_image*positive_fraction
+    keypoint_loss_normalizer: float = -1.0
     keypoint_pooler_resolution: int = 14
     # FastRCNNConvFCHead generalization (reference roi_heads/box_head.py):
     # NUM_CONV 3x3 convs (+optional GN) on the pooled map, then NUM_FC fcs.
@@ -532,7 +542,13 @@ class CLIPStandardROIHeads(nn.Module):
                 )
                 flat_classes = classes.reshape(b * s)
                 fg = valid.reshape(b * s) & (flat_classes >= 0) & (flat_classes < self.num_classes)
-                losses["loss_keypoint"] = keypoint_rcnn_loss(heat, pos, vis & fg[:, None])
+                knorm = (
+                    None if self.keypoint_loss_normalizer <= 0
+                    else b * self.keypoint_loss_normalizer
+                )
+                losses["loss_keypoint"] = self.keypoint_loss_weight * keypoint_rcnn_loss(
+                    heat, pos, vis & fg[:, None], knorm
+                )
             return None, losses
         feats = self._box_features(fpn_feats, proposals.boxes)
         b, k = proposals.boxes.shape[:2]

@@ -145,6 +145,15 @@ def build_optimizer(cfg, params) -> optax.GradientTransformation:
         else:
             chain.append(optax.clip(cfg.SOLVER.CLIP_GRADIENTS.CLIP_VALUE))
     if cfg.SOLVER.WEIGHT_DECAY:
+        wd_bias = cfg.SOLVER.WEIGHT_DECAY_BIAS
+        if wd_bias is not None and wd_bias != cfg.SOLVER.WEIGHT_DECAY:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "SOLVER.WEIGHT_DECAY_BIAS=%s differs from WEIGHT_DECAY=%s; "
+                "uniform decay is applied (per-bias decay not supported)",
+                wd_bias, cfg.SOLVER.WEIGHT_DECAY,
+            )
         chain.append(optax.add_decayed_weights(cfg.SOLVER.WEIGHT_DECAY, mask=mask))
     if cfg.SOLVER.MOMENTUM:
         chain.append(optax.trace(decay=cfg.SOLVER.MOMENTUM, nesterov=cfg.SOLVER.NESTEROV))

@@ -132,6 +132,18 @@ class ShapeSpec:
     stride: int = None
 
 
+def _load_by_path(name, path):
+    """Import a reference file OUTSIDE the synthetic package (for files whose
+    canonical module name is occupied by a shim, e.g. config/config.py whose
+    name detectron2.config.config is the CfgNode host shim). Only functions
+    without relative imports at module level are usable from such modules."""
+    spec = importlib.util.spec_from_file_location(name, path)
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules[name] = mod
+    spec.loader.exec_module(mod)
+    return mod
+
+
 def build_ref_pkg():
     """Install the stub package tree (idempotent) and return a namespace of
     the imported reference modules."""
@@ -191,7 +203,25 @@ def build_ref_pkg():
             get_world_size=lambda: 1,
             get_rank=lambda: 0,
         )
-        _fake_module("detectron2.config", configurable=lambda f: f)
+        # detectron2.config: real __path__ so the reference's defaults.py
+        # (the full config-surface definition) imports for real; its
+        # `from .config import CfgNode` resolves to OUR CfgNode via the
+        # pre-registered fake submodule (data host only — the keys/values
+        # under test come from executing the reference file)
+        _fake_module(
+            "detectron2.config", path=os.path.join(REF, "config"), configurable=lambda f: f
+        )
+        from cddmsl_tpu.config.cfg_node import CfgNode as _RepoCfgNode
+
+        class _OurCfgNode(_RepoCfgNode):
+            """Accepts yacs' `new_allowed` kwarg (merge-time semantics only;
+            irrelevant to the default-surface comparison)."""
+
+            def __init__(self, init_dict=None, new_allowed=False):
+                super().__init__(init_dict)
+
+        _fake_module("detectron2.config.config", CfgNode=_OurCfgNode)
+        _fake_module("fvcore.common.config", CfgNode=_OurCfgNode)
         if "fvcore" not in sys.modules:
             _fake_module("fvcore")
         _fake_module("fvcore.nn", smooth_l1_loss=smooth_l1_loss, giou_loss=None)
@@ -324,6 +354,10 @@ def build_ref_pkg():
         poolers=importlib.import_module("detectron2.modeling.poolers"),
         postprocessing=importlib.import_module("detectron2.modeling.postprocessing"),
         lr_scheduler=importlib.import_module("detectron2.solver.lr_scheduler"),
+        config_defaults=importlib.import_module("detectron2.config.defaults"),
+        config_config=_load_by_path(
+            "d2_ref_config_config", os.path.join(REF, "config", "config.py")
+        ),
         proposal_utils=importlib.import_module(
             "detectron2.modeling.proposal_generator.proposal_utils"
         ),

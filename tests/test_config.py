@@ -10,7 +10,7 @@ def test_defaults_present():
     assert cfg.MODEL.META_ARCHITECTURE == "GeneralizedRCNN"
     assert cfg.MODEL.CLIP.CLSS_TEMP == 0.01
     assert cfg.MODEL.RPN.POST_NMS_TOPK_TRAIN == 2000
-    assert cfg.MODEL.KD_REGULRAZIATION is False
+    assert cfg.MODEL.KD_REGULRAZIATION is True  # reference defaults.py:30
     assert cfg.TPU.MESH_AXES == ("data",) or list(cfg.TPU.MESH_AXES) == ["data"]
 
 
